@@ -1,0 +1,219 @@
+"""Unified configuration system (dataclass + YAML + CLI overrides).
+
+The reference scatters configuration between ~40 argparse flags
+(reference: scripts/train.py:23-121) and never-loaded Hydra-style YAML files
+(reference: configs/model/tfswa_unet.yaml).  This module provides the single
+real config system the reference intended: typed dataclasses, YAML round-trip,
+and dotted-path CLI overrides, with defaults matching the reference CLI.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Optional, Sequence, Tuple
+
+
+@dataclass
+class ModelConfig:
+    """TFSWA-UNet architecture config.
+
+    Defaults reproduce the reference parity config
+    (reference: test_model.py:13-21 -> 15,404,834 params at in/out_channels=2).
+    """
+
+    in_channels: int = 4          # stereo complex spectrogram: [re_L, re_R, im_L, im_R]
+    out_channels: int = 4         # 2 * n_stems mask channels
+    depths: Tuple[int, ...] = (2, 2, 6, 2)
+    dims: Tuple[int, ...] = (32, 64, 128, 256)
+    window_size: int = 8
+    shift_size: int = 4
+    num_heads: int = 8
+    dropout: float = 0.0
+    mlp_ratio: float = 4.0
+    # TPU-specific knobs (no reference equivalent):
+    attention_impl: str = "xla"   # "xla" (chunked einsum) | "pallas" (flash kernels)
+    attn_chunk_size: int = 16     # row-chunk for the XLA path (reference: attention.py:109)
+    remat: bool = False           # jax.checkpoint each TFSWABlock (replaces
+                                  # reference: gradient_checkpoint.py:18-73 monkey-patching)
+    dtype: str = "float32"        # compute dtype ("float32" | "bfloat16")
+    param_dtype: str = "float32"
+
+
+@dataclass
+class STFTConfig:
+    """STFT front-end config (reference: stft_processor.py:29-51).
+
+    Reference class defaults are 4096/1024 but every caller uses 2048/512
+    (north-star) or 1024/256 (low-VRAM script); we default to the north-star.
+    """
+
+    n_fft: int = 2048
+    hop_length: int = 512
+    win_length: Optional[int] = None
+    window: str = "hann"          # hann | hamming | blackman
+    center: bool = True
+    pad_mode: str = "reflect"
+    sample_rate: int = 44100
+
+
+@dataclass
+class DataConfig:
+    """MUSDB18 data pipeline config (reference: musdb_dataset.py:74-143)."""
+
+    musdb_root: str = ""
+    stems: Tuple[str, ...] = ("vocals", "other")
+    segment_seconds: float = 6.0
+    sample_rate: int = 44100
+    batch_size: int = 4
+    random_segments: bool = True
+    segment_overlap: float = 0.5
+    max_segments_per_track: int = 8
+    num_workers: int = 4
+    prefetch: int = 2
+    # Augmentation (reference defines but never wires these; we wire them —
+    # reference: augmentation.py:12-333):
+    augment: bool = False
+    aug_time_stretch: Tuple[float, float] = (0.9, 1.1)
+    aug_pitch_shift_semitones: Tuple[float, float] = (-2.0, 2.0)
+    aug_gain_db: Tuple[float, float] = (-6.0, 6.0)
+    aug_prob: float = 0.5
+    mixup: bool = False
+    mixup_alpha: float = 0.4
+
+
+@dataclass
+class TrainConfig:
+    """Training loop config (reference: scripts/train.py:54-65,251-262)."""
+
+    learning_rate: float = 1e-4
+    weight_decay: float = 1e-4
+    max_epochs: int = 300
+    steps_per_epoch: int = 0        # 0 = derive from dataset
+    warmup_steps: int = 0
+    lr_min: float = 1e-6            # cosine eta_min
+    gradient_clip_val: float = 1.0
+    use_mrstft_loss: bool = False   # reference train.py:243-248 disables it
+    l1_weight: float = 1.0
+    mrstft_weight: float = 0.5
+    seed: int = 42
+    log_every_n_steps: int = 50
+    val_every_n_epochs: int = 1
+    sdr_eval_num_tracks: int = 5
+    checkpoint_dir: str = "checkpoints"
+    log_dir: str = "logs"
+    keep_checkpoints: int = 5
+
+
+@dataclass
+class EvalConfig:
+    """Inference / evaluation config (reference: inference.py:24-58)."""
+
+    segment_seconds: float = 10.0
+    overlap: float = 0.25
+    mask_mode: str = "trainer"      # "trainer" (sigmoid|re,im| mono-mag) |
+                                    # "direct" (raw channels as complex masks,
+                                    #  reference: inference.py:139-150)
+    normalize: bool = False         # SpectrogramNormalizer on model input
+    framewise_seconds: float = 10.0
+
+
+@dataclass
+class MeshConfig:
+    """Device mesh config for SPMD parallelism (no reference equivalent:
+    the reference is strictly single-GPU, SURVEY.md section 2.7)."""
+
+    data_axis: int = -1             # -1 = all remaining devices
+    model_axis: int = 1
+
+
+@dataclass
+class Config:
+    model: ModelConfig = field(default_factory=ModelConfig)
+    stft: STFTConfig = field(default_factory=STFTConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    eval: EvalConfig = field(default_factory=EvalConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+
+    # ------------------------------------------------------------------ io
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "Config":
+        kwargs = {}
+        for f in dataclasses.fields(cls):
+            sub = d.get(f.name, {})
+            sub_cls = f.default_factory  # type: ignore[misc]
+            if isinstance(sub, dict):
+                valid = {x.name for x in dataclasses.fields(sub_cls)}
+                filtered = {}
+                for k, v in sub.items():
+                    if k not in valid:
+                        continue
+                    if isinstance(v, list):
+                        v = tuple(v)
+                    filtered[k] = v
+                kwargs[f.name] = sub_cls(**filtered)
+        return cls(**kwargs)
+
+    def to_yaml(self, path: str) -> None:
+        try:
+            import yaml
+
+            with open(path, "w") as fh:
+                yaml.safe_dump(self.to_dict(), fh, sort_keys=False)
+        except ImportError:
+            with open(path, "w") as fh:
+                json.dump(self.to_dict(), fh, indent=2)
+
+    @classmethod
+    def from_yaml(cls, path: str) -> "Config":
+        with open(path) as fh:
+            text = fh.read()
+        try:
+            import yaml
+
+            d = yaml.safe_load(text)
+        except ImportError:
+            d = json.loads(text)
+        return cls.from_dict(d)
+
+    # ------------------------------------------------------- cli overrides
+    def apply_overrides(self, overrides: Sequence[str]) -> "Config":
+        """Apply dotted-path overrides, e.g. ["model.dims=(16,32,64,128)"]."""
+        cfg = self
+        for ov in overrides:
+            key, _, raw = ov.partition("=")
+            section, _, attr = key.partition(".")
+            sub = getattr(cfg, section)
+            cur = getattr(sub, attr)
+            val = _parse_value(raw, cur)
+            sub = dataclasses.replace(sub, **{attr: val})
+            cfg = dataclasses.replace(cfg, **{section: sub})
+        return cfg
+
+
+def _parse_value(raw: str, current: Any) -> Any:
+    raw = raw.strip()
+    if isinstance(current, bool):
+        return raw.lower() in ("1", "true", "yes")
+    if isinstance(current, tuple):
+        inner = raw.strip("()[]")
+        parts = [p for p in inner.split(",") if p.strip()]
+        elem = current[0] if current else None
+        conv = type(elem) if elem is not None else str
+        return tuple(conv(p.strip()) for p in parts)
+    if isinstance(current, int):
+        return int(raw)
+    if isinstance(current, float):
+        return float(raw)
+    if current is None:
+        if raw.lower() in ("none", "null"):
+            return None
+        try:
+            return int(raw)
+        except ValueError:
+            return raw
+    return raw
