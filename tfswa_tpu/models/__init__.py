@@ -1,0 +1,26 @@
+"""TFSWA-UNet model family (flax.linen, NHWC internals)."""
+from .attention import (
+    FrequencySequenceAttention,
+    MultiHeadAttention,
+    RowBlockParams,
+    ShiftedWindowAttention,
+    TemporalSequenceAttention,
+    mha_rows,
+    row_transformer_block,
+)
+from .blocks import DownsampleBlock, TFSWABlock, UpsampleBlock
+from .tfswa_unet import TFSWAUNet
+
+__all__ = [
+    "TFSWAUNet",
+    "TFSWABlock",
+    "DownsampleBlock",
+    "UpsampleBlock",
+    "TemporalSequenceAttention",
+    "FrequencySequenceAttention",
+    "ShiftedWindowAttention",
+    "MultiHeadAttention",
+    "RowBlockParams",
+    "mha_rows",
+    "row_transformer_block",
+]
