@@ -1,0 +1,101 @@
+"""SourceSeparator invariants (reference: test_phase3.py:243-290):
+shape/length preservation, both mask modes, OLA consistency, batch separator.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tfswa_tpu.config import STFTConfig
+from tfswa_tpu.evaluation.inference import BatchSeparator, SourceSeparator
+from tfswa_tpu.models import TFSWAUNet
+from tfswa_tpu.ops.stft import STFTProcessor
+
+SR = 8000
+
+
+@pytest.fixture(scope="module")
+def separator():
+    model = TFSWAUNet(
+        in_channels=4, out_channels=4, depths=(1, 1, 1, 1), dims=(8, 16, 32, 64),
+        window_size=4, shift_size=2, num_heads=2,
+    )
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 4, 129, 20)))
+    proc = STFTProcessor(STFTConfig(n_fft=256, hop_length=64, sample_rate=SR))
+    return SourceSeparator(
+        model, variables, proc,
+        segment_length=1.0, overlap=0.25, mask_mode="trainer",
+        segment_batch=4,
+    )
+
+
+def _sine(freq, n, sr=SR):
+    return np.sin(2 * np.pi * freq * np.arange(n) / sr).astype(np.float32)
+
+
+def test_short_segment_shapes(separator):
+    audio = _sine(440, SR // 2)  # shorter than one segment
+    out = separator.separate(audio)
+    assert set(out) == {"vocals", "other"}
+    for stem in out.values():
+        assert stem.shape == (1, SR // 2)
+        assert np.isfinite(stem).all()
+
+
+def test_long_overlap_add_shapes(separator):
+    audio = _sine(440, int(SR * 3.3))  # multiple segments + ragged tail
+    out = separator.separate(audio)
+    for stem in out.values():
+        assert stem.shape == (1, int(SR * 3.3))
+        assert np.isfinite(stem).all()
+
+
+def test_stereo_input_forced_mono(separator):
+    """Reference forces mono (reference: inference.py:83-85)."""
+    audio = np.stack([_sine(440, SR), _sine(880, SR)])
+    out = separator.separate(audio)
+    assert out["vocals"].shape == (1, SR)
+
+
+def test_mask_conservation_trainer_mode(separator):
+    """Trainer masks are bounded to [sigma(0), sigma(sqrt(2))]: each stem's
+    energy is below mixture energy (masks < 1)."""
+    audio = _sine(440, SR)
+    out = separator.separate(audio)
+    mix_energy = float(np.sum(audio ** 2))
+    for stem in out.values():
+        assert float(np.sum(stem ** 2)) < mix_energy
+
+
+def test_direct_mask_mode():
+    model = TFSWAUNet(
+        in_channels=2, out_channels=4, depths=(1, 1, 1, 1), dims=(8, 16, 32, 64),
+        window_size=4, shift_size=2, num_heads=2,
+    )
+    variables = model.init(jax.random.PRNGKey(1), jnp.zeros((1, 2, 129, 20)))
+    proc = STFTProcessor(STFTConfig(n_fft=256, hop_length=64, sample_rate=SR))
+    sep = SourceSeparator(
+        model, variables, proc, segment_length=1.0, mask_mode="direct"
+    )
+    out = sep.separate(_sine(440, int(SR * 1.5)))
+    for stem in out.values():
+        assert stem.shape == (1, int(SR * 1.5))
+        assert np.isfinite(stem).all()
+
+
+def test_ola_constant_region_consistency(separator):
+    """A time-invariant input should produce nearly time-invariant output in
+    the OLA interior (window normalization is correct)."""
+    audio = _sine(440, SR * 4)
+    out = separator.separate(audio)["vocals"][0]
+    # compare energy of two interior seconds
+    e1 = float(np.sum(out[SR : 2 * SR] ** 2))
+    e2 = float(np.sum(out[2 * SR : 3 * SR] ** 2))
+    assert abs(e1 - e2) / max(e1, 1e-9) < 0.05
+
+
+def test_batch_separator_error_capture(separator, tmp_path):
+    bs = BatchSeparator(separator)
+    results = bs.separate_files(["/nonexistent/file.wav"], str(tmp_path))
+    assert results["/nonexistent/file.wav"]["status"] == "error"

@@ -1,0 +1,162 @@
+"""Train step: loss decreases, BN stats update, checkpoint round-trip,
+and data-parallel sharding equivalence on the 8-device CPU mesh.
+"""
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tfswa_tpu.config import Config, DataConfig, ModelConfig, STFTConfig, TrainConfig
+from tfswa_tpu.ops.stft import STFTProcessor
+from tfswa_tpu.parallel import create_mesh, shard_batch, shard_variables
+from tfswa_tpu.training import (
+    CheckpointManager,
+    create_train_state,
+    make_eval_step,
+    make_train_step,
+)
+
+STEMS = ("vocals", "other")
+
+
+def tiny_config(**train_kw) -> Config:
+    return Config(
+        model=ModelConfig(
+            in_channels=4, out_channels=4, depths=(1, 1, 1, 1),
+            dims=(8, 16, 32, 64), window_size=4, shift_size=2, num_heads=2,
+        ),
+        stft=STFTConfig(n_fft=256, hop_length=64, sample_rate=8000),
+        train=TrainConfig(learning_rate=1e-3, **train_kw),
+    )
+
+
+def synth_batch(rng, batch=2, samples=4096):
+    mixtures = rng.standard_normal((batch, 2, samples)).astype(np.float32) * 0.1
+    targets = {
+        s: rng.standard_normal((batch, 2, samples)).astype(np.float32) * 0.05
+        for s in STEMS
+    }
+    return jnp.asarray(mixtures), {k: jnp.asarray(v) for k, v in targets.items()}
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_config()
+    proc = STFTProcessor(cfg.stft)
+    # sample model input: (B, 4, F, T)
+    F = cfg.stft.n_fft // 2 + 1
+    T = 4096 // cfg.stft.hop_length + 1
+    model, state = create_train_state(
+        cfg, jax.random.PRNGKey(0), (1, 4, F, T), steps_per_epoch=10
+    )
+    return cfg, proc, model, state
+
+
+def test_train_step_decreases_loss(setup):
+    cfg, proc, model, state = setup
+    step = jax.jit(make_train_step(model, proc, STEMS))
+    rng = np.random.default_rng(0)
+    mixtures, targets = synth_batch(rng)
+    losses = []
+    for _ in range(5):
+        state, loss_dict = step(state, mixtures, targets)
+        losses.append(float(loss_dict["total_loss"]))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0], f"loss did not decrease: {losses}"
+    assert float(loss_dict["grad_norm"]) > 0
+
+
+def test_loss_dict_keys(setup):
+    cfg, proc, model, state = setup
+    step = jax.jit(make_train_step(model, proc, STEMS))
+    mixtures, targets = synth_batch(np.random.default_rng(1))
+    _, loss_dict = step(state, mixtures, targets)
+    for key in ("total_loss", "l1_loss", "l1_vocals", "l1_other", "grad_norm"):
+        assert key in loss_dict
+
+
+def test_eval_step(setup):
+    cfg, proc, model, state = setup
+    estep = jax.jit(make_eval_step(model, proc, STEMS))
+    mixtures, targets = synth_batch(np.random.default_rng(2))
+    out = estep(state, mixtures, targets)
+    assert np.isfinite(float(out["total_loss"]))
+
+
+def test_mrstft_train_step(setup):
+    cfg, proc, model, state = setup
+    step = jax.jit(make_train_step(model, proc, STEMS, use_mrstft=True,
+                                   mrstft_weight=0.5))
+    mixtures, targets = synth_batch(np.random.default_rng(3), samples=4096)
+    state, loss_dict = step(state, mixtures, targets)
+    assert "mrstft_loss" in loss_dict
+    assert np.isfinite(float(loss_dict["total_loss"]))
+
+
+def test_data_parallel_matches_single_device(setup):
+    """Same batch, sharded over 8 devices vs single device: same loss and
+    same parameter update (GSPMD handles BN/grad reductions globally).
+
+    Kept tiny: the CI box exposes 8 virtual devices on one physical core, so
+    every collective round is serialized — long programs can trip XLA's
+    stuck-collective watchdog under load."""
+    cfg, proc, model, state = setup
+    step = jax.jit(make_train_step(model, proc, STEMS), donate_argnums=())
+    mixtures, targets = synth_batch(np.random.default_rng(4), batch=8, samples=1024)
+
+    new_single, loss_single = step(state, mixtures, targets)
+
+    mesh = create_mesh()
+    sharded_state = state.replace(
+        params=shard_variables({"p": state.params}, mesh)["p"],
+        batch_stats=shard_variables({"b": state.batch_stats}, mesh)["b"],
+    )
+    s_mix = shard_batch(mixtures, mesh)
+    s_tgt = shard_batch(targets, mesh)
+    new_sharded, loss_sharded = step(sharded_state, s_mix, s_tgt)
+
+    np.testing.assert_allclose(
+        float(loss_single["total_loss"]), float(loss_sharded["total_loss"]),
+        rtol=1e-5,
+    )
+    a = jax.tree_util.tree_leaves(new_single.params)[0]
+    b = jax.tree_util.tree_leaves(new_sharded.params)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_checkpoint_roundtrip(setup, tmp_path):
+    cfg, proc, model, state = setup
+    step = jax.jit(make_train_step(model, proc, STEMS))
+    mixtures, targets = synth_batch(np.random.default_rng(5))
+    state, _ = step(state, mixtures, targets)
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), config=cfg, keep=2)
+    mgr.save(state, epoch=0, global_step=1, best_val_loss=0.5, is_best=True)
+
+    tree, meta = mgr.restore("best", state=state)
+    assert meta["epoch"] == 0 and meta["global_step"] == 1
+    orig = jax.tree_util.tree_leaves(state.params)[0]
+    rest = jax.tree_util.tree_leaves(tree["params"])[0]
+    np.testing.assert_allclose(np.asarray(orig), np.asarray(rest))
+
+    # resume: restored state continues training
+    state2 = state.replace(
+        params=tree["params"], batch_stats=tree["batch_stats"],
+        opt_state=tree["opt_state"],
+    )
+    state2, loss = step(state2, mixtures, targets)
+    assert np.isfinite(float(loss["total_loss"]))
+
+
+def test_restore_variables_for_inference(setup, tmp_path):
+    from tfswa_tpu.training.checkpointing import restore_variables
+
+    cfg, proc, model, state = setup
+    mgr = CheckpointManager(str(tmp_path / "ckpt2"), config=cfg)
+    mgr.save(state, epoch=3, global_step=30, best_val_loss=0.1, is_best=True)
+    variables, saved_cfg = restore_variables(str(tmp_path / "ckpt2"))
+    assert "params" in variables and "batch_stats" in variables
+    assert saved_cfg["model"]["dims"] == [8, 16, 32, 64]

@@ -1,0 +1,302 @@
+"""Full-track source separation with overlap-add (reference: inference.py).
+
+TPU-native redesign of the reference's one-segment-at-a-time loop
+(reference: inference.py:159-225):
+  - the per-segment pipeline (STFT -> model -> mask -> ISTFT) is one jitted
+    function with a static segment length, compiled once per track length
+    class;
+  - segments are processed in device batches (``segment_batch``) so the MXU
+    sees large batched matmuls instead of B=1 dribbles;
+  - the Hann-windowed overlap-add accumulation runs on host over small audio
+    arrays (it is O(samples), never the bottleneck).
+
+Both reference mask conventions are supported (see ops/masking.py).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import EvalConfig, ModelConfig, STFTConfig
+from ..models import TFSWAUNet
+from ..ops.masking import apply_direct_masks, trainer_masked_complex
+from ..ops.stft import STFTProcessor, SpectrogramNormalizer, get_window
+
+
+def _hann(length: int) -> np.ndarray:
+    """Periodic Hann, matching torch.hann_window (reference: inference.py:227-237)."""
+    return get_window("hann", length).astype(np.float32)
+
+
+class SourceSeparator:
+    """High-level separation interface (reference: inference.py:19-237).
+
+    Parity notes:
+      - input is forced mono like the reference (reference: inference.py:83-85);
+      - 'direct' mask mode reproduces reference inference exactly
+        (raw head channels as complex masks, reference: inference.py:139-150);
+      - 'trainer' mask mode reproduces Trainer._separate_track
+        (sigmoid(|re,im|) x mono magnitude x mixture phase,
+        reference: trainer.py:415-436) — the convention the model was
+        trained under, and therefore the default here.
+    """
+
+    def __init__(
+        self,
+        model: TFSWAUNet,
+        variables: Dict,
+        stft_processor: STFTProcessor,
+        normalizer: Optional[SpectrogramNormalizer] = None,
+        segment_length: float = 10.0,
+        overlap: float = 0.25,
+        mask_mode: str = "trainer",
+        stem_names: Sequence[str] = ("vocals", "other"),
+        segment_batch: int = 8,
+    ):
+        self.model = model
+        self.variables = variables
+        self.stft_processor = stft_processor
+        self.normalizer = normalizer
+        self.segment_length = segment_length
+        self.overlap = overlap
+        self.mask_mode = mask_mode
+        self.default_stems = tuple(stem_names)
+        self.segment_batch = segment_batch
+
+        self.sample_rate = stft_processor.sample_rate
+        self.segment_samples = int(segment_length * self.sample_rate)
+        self.hop_samples = int(self.segment_samples * (1 - overlap))
+        self.n_stems = model.out_channels // 2
+        # model input channels decide mono duplication:
+        #   in_channels==2 -> mono [re, im]   (reference: inference.py:319-332)
+        #   in_channels==4 -> mono duplicated to stereo (reference: trainer.py:393-394)
+        self.model_audio_channels = model.in_channels // 2
+
+        self._jit_separate = jax.jit(self._separate_batch_impl)
+
+    # --------------------------------------------------------------- core
+    def _separate_batch_impl(self, variables, segments: jnp.ndarray) -> jnp.ndarray:
+        """(B, S) mono segments -> (B, n_stems, S) separated audio."""
+        B, S = segments.shape
+        wav = jnp.repeat(segments[:, None, :], self.model_audio_channels, axis=1)
+        spec = self.stft_processor.stft(wav)                # (B, C, F, T)
+        model_input = self.stft_processor.to_model_input(spec)
+        stats = None
+        if self.normalizer is not None:
+            model_input, mean, std = self.normalizer(model_input, return_stats=True)
+            stats = (mean, std)
+        out = self.model.apply(variables, model_input, train=False)
+        if stats is not None:
+            # reference denormalizes the masks with the input stats
+            # (reference: inference.py:131-133)
+            out = self.normalizer.denormalize(out, *stats)
+
+        if self.mask_mode == "trainer":
+            mono = jnp.mean(spec, axis=1)                   # (B, F, T) complex
+            masked = trainer_masked_complex(
+                out, jnp.abs(mono), jnp.angle(mono), self.n_stems
+            )                                               # (B, n_stems, F, T)
+            audio = self.stft_processor.istft(masked, length=S)
+        else:  # direct
+            masked = apply_direct_masks(out, spec, self.n_stems)  # (B, S, C, F, T)
+            audio = self.stft_processor.istft(masked, length=S)
+            audio = jnp.mean(audio, axis=2)                 # mono out
+        return audio                                        # (B, n_stems, S)
+
+    # ---------------------------------------------------------------- api
+    def separate(
+        self, audio, stem_names: Optional[Sequence[str]] = None
+    ) -> Dict[str, np.ndarray]:
+        """Separate a mixture [channels, time] or [time] -> {stem: (1, time)}
+        (reference: inference.py:61-96)."""
+        stems = list(stem_names or self.default_stems)[: self.n_stems]
+        audio = np.asarray(audio, dtype=np.float32)
+        if audio.ndim == 1:
+            audio = audio[None]
+        if audio.shape[0] > 1:
+            audio = audio.mean(axis=0, keepdims=True)       # force mono
+        total = audio.shape[1]
+        seg = self.segment_samples
+
+        if total <= seg:
+            padded = np.pad(audio[0], (0, seg - total))
+            out = np.asarray(
+                self._jit_separate(self.variables, jnp.asarray(padded[None]))
+            )[0, :, :total]
+            return {name: out[i : i + 1] for i, name in enumerate(stems)}
+        return self._separate_long(audio, stems)
+
+    def _separate_long(
+        self, audio: np.ndarray, stems: List[str]
+    ) -> Dict[str, np.ndarray]:
+        """Hann overlap-add over fixed segments (reference: inference.py:159-225),
+        with segments batched through the jitted pipeline."""
+        total = audio.shape[1]
+        seg, hop = self.segment_samples, self.hop_samples
+        num_segments = (total - seg) // hop + 1
+        window = _hann(seg)
+
+        # segment start offsets, reference last-segment clamping
+        bounds = []
+        for i in range(num_segments):
+            start = i * hop
+            end = start + seg
+            if end > total:
+                end = total
+                start = max(0, end - seg)
+            bounds.append((start, end))
+
+        batch = np.zeros((len(bounds), seg), dtype=np.float32)
+        for j, (start, end) in enumerate(bounds):
+            chunk = audio[0, start:end]
+            batch[j, : end - start] = chunk
+
+        outs = []
+        bs = self.segment_batch
+        n = len(bounds)
+        for j0 in range(0, n, bs):
+            block = batch[j0 : j0 + bs]
+            if block.shape[0] < bs:
+                # pad to the compiled batch size to avoid a recompile
+                block = np.pad(block, ((0, bs - block.shape[0]), (0, 0)))
+            res = np.asarray(self._jit_separate(self.variables, jnp.asarray(block)))
+            outs.append(res[: min(bs, n - j0)])
+        separated_segments = np.concatenate(outs, axis=0)   # (n, n_stems, seg)
+
+        out = {name: np.zeros((1, total), dtype=np.float32) for name in stems}
+        norm = np.zeros(total, dtype=np.float32)
+        for j, (start, end) in enumerate(bounds):
+            length = end - start
+            w = window[:length]
+            for i, name in enumerate(stems):
+                out[name][0, start:end] += separated_segments[j, i, :length] * w
+            norm[start:end] += w
+        norm = np.maximum(norm, 1e-8)
+        for name in stems:
+            out[name] /= norm[None]
+        return out
+
+    # --------------------------------------------------------------- file
+    def separate_file(
+        self,
+        input_path: str,
+        output_dir: str,
+        stem_names: Optional[Sequence[str]] = None,
+    ) -> Dict[str, str]:
+        """Load -> separate -> save per-stem wavs (reference: inference.py:239-297).
+        Requires soundfile."""
+        import os
+
+        import soundfile as sf
+
+        audio, sr = sf.read(input_path, dtype="float32", always_2d=True)
+        audio = audio.T                                     # (channels, time)
+        if sr != self.sample_rate:
+            audio = _resample_poly(audio, sr, self.sample_rate)
+        separated = self.separate(audio, stem_names)
+        os.makedirs(output_dir, exist_ok=True)
+        base = os.path.splitext(os.path.basename(input_path))[0]
+        paths = {}
+        for name, wav in separated.items():
+            path = os.path.join(output_dir, f"{base}_{name}.wav")
+            sf.write(path, wav[0], self.sample_rate)
+            paths[name] = path
+        return paths
+
+
+def _resample_poly(audio: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
+    from math import gcd
+
+    from scipy.signal import resample_poly
+
+    g = gcd(sr_in, sr_out)
+    return resample_poly(audio, sr_out // g, sr_in // g, axis=-1).astype(np.float32)
+
+
+class BatchSeparator:
+    """Sequential multi-file separation with per-file error capture
+    (reference: inference.py:367-425)."""
+
+    def __init__(self, separator: SourceSeparator):
+        self.separator = separator
+
+    def separate_files(
+        self, input_paths: Sequence[str], output_dir: str
+    ) -> Dict[str, Dict]:
+        results = {}
+        for path in input_paths:
+            try:
+                results[path] = {
+                    "status": "ok",
+                    "outputs": self.separator.separate_file(path, output_dir),
+                }
+            except Exception as exc:  # noqa: BLE001 (parity: keep going)
+                results[path] = {"status": "error", "error": str(exc)}
+        return results
+
+
+def load_separator_from_checkpoint(
+    checkpoint_path: str,
+    model_config: Optional[ModelConfig] = None,
+    stft_config: Optional[STFTConfig] = None,
+    eval_config: Optional[EvalConfig] = None,
+    stem_names: Sequence[str] = ("vocals", "other"),
+) -> SourceSeparator:
+    """Build a SourceSeparator from a checkpoint (reference: inference.py:300-364;
+    the reference version crashes on a bad window_fn kwarg — fixed here).
+
+    Accepts either an orbax checkpoint directory produced by our Trainer or a
+    PyTorch ``.pt`` file from the reference repo (converted on load).
+    """
+    import os
+
+    stft_config = stft_config or STFTConfig()
+    eval_config = eval_config or EvalConfig()
+
+    if os.path.isfile(checkpoint_path) and checkpoint_path.endswith((".pt", ".pth")):
+        import torch
+
+        from ..utils.torch_compat import torch_state_dict_to_variables
+
+        ckpt = torch.load(checkpoint_path, map_location="cpu", weights_only=False)
+        state_dict = ckpt.get("model_state_dict", ckpt)
+        cfg_dict = ckpt.get("config", {}) if isinstance(ckpt, dict) else {}
+        if model_config is None:
+            model_config = ModelConfig(
+                in_channels=cfg_dict.get("in_channels", 2),
+                out_channels=cfg_dict.get("out_channels", 2),
+                depths=tuple(cfg_dict.get("depths", (2, 2, 6, 2))),
+                dims=tuple(cfg_dict.get("dims", (32, 64, 128, 256))),
+                window_size=cfg_dict.get("window_size", 8),
+                shift_size=cfg_dict.get("shift_size", 4),
+                num_heads=cfg_dict.get("num_heads", 8),
+            )
+        variables = torch_state_dict_to_variables(state_dict, model_config.depths)
+        variables = jax.tree_util.tree_map(jnp.asarray, variables)
+    else:
+        from ..training.checkpointing import restore_variables
+
+        variables, saved_cfg = restore_variables(checkpoint_path)
+        if model_config is None and saved_cfg is not None:
+            model_config = ModelConfig(**saved_cfg["model"])
+        if model_config is None:
+            raise ValueError("model_config required for this checkpoint")
+
+    model = TFSWAUNet.from_config(model_config)
+    normalizer = (
+        SpectrogramNormalizer(mode="instance") if eval_config.normalize else None
+    )
+    return SourceSeparator(
+        model=model,
+        variables=variables,
+        stft_processor=STFTProcessor(stft_config),
+        normalizer=normalizer,
+        segment_length=eval_config.segment_seconds,
+        overlap=eval_config.overlap,
+        mask_mode=eval_config.mask_mode,
+        stem_names=stem_names,
+    )

@@ -1,0 +1,158 @@
+"""Deployment export + inference benchmarking.
+
+The reference exports ONNX / TorchScript (reference: export.py:17-224).  The
+TPU-native equivalents are:
+  - StableHLO serialization via jax.export — portable, runnable from any
+    XLA-backed runtime (documented substitution for ONNX);
+  - AOT compilation (jit(...).lower().compile()) for in-process serving.
+
+benchmark utilities mirror the reference's (reference: export.py:287-363):
+ms/iter, throughput, and audio real-time factor.
+"""
+from __future__ import annotations
+
+import json
+import time
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import TFSWAUNet
+
+
+def make_forward_fn(model: TFSWAUNet, variables: Dict) -> Callable:
+    """Closed-over eval-mode forward: x (B, C, F, T) -> masks."""
+
+    def forward(x):
+        return model.apply(variables, x, train=False)
+
+    return forward
+
+
+def export_stablehlo(
+    model: TFSWAUNet,
+    variables: Dict,
+    output_path: str,
+    input_shape: Tuple[int, ...] = (1, 2, 1025, 259),
+    verify: bool = True,
+) -> Dict:
+    """Serialize the eval-mode forward to StableHLO bytes
+    (substitutes reference export_to_onnx, export.py:17-139; same canonical
+    input shape (1, 2, 1025, 259) = n_fft 2048, ~6 s audio).
+
+    Returns export metadata incl. max-abs-diff of a reloaded-module check
+    (reference verifies ONNX vs torch < 1e-4, export.py:100-129).
+    """
+    from jax import export as jax_export
+
+    forward = make_forward_fn(model, variables)
+    x = jnp.zeros(input_shape, jnp.float32)
+    exported = jax_export.export(jax.jit(forward))(x)
+    blob = exported.serialize()
+    with open(output_path, "wb") as fh:
+        fh.write(blob)
+
+    info = {
+        "path": output_path,
+        "bytes": len(blob),
+        "input_shape": list(input_shape),
+        "platforms": list(exported.platforms),
+    }
+    if verify:
+        reloaded = jax_export.deserialize(blob)
+        rng = np.random.default_rng(0)
+        probe = jnp.asarray(rng.standard_normal(input_shape), jnp.float32)
+        ref_out = forward(probe)
+        new_out = reloaded.call(probe)
+        diff = float(jnp.max(jnp.abs(ref_out - new_out)))
+        info["max_abs_diff"] = diff
+        assert diff < 1e-4, f"export verification failed: {diff}"
+    return info
+
+
+def load_stablehlo(path: str) -> Callable:
+    from jax import export as jax_export
+
+    with open(path, "rb") as fh:
+        exported = jax_export.deserialize(fh.read())
+    return exported.call
+
+
+def aot_compile(
+    model: TFSWAUNet, variables: Dict, input_shape: Tuple[int, ...]
+) -> Callable:
+    """Ahead-of-time compiled forward (TorchScript-equivalent serving artifact,
+    reference: export.py:142-224)."""
+    forward = jax.jit(make_forward_fn(model, variables))
+    lowered = forward.lower(jnp.zeros(input_shape, jnp.float32))
+    return lowered.compile()
+
+
+def optimize_for_inference(model: TFSWAUNet, variables: Dict) -> Tuple[Callable, Dict]:
+    """Inference-ready closure: eval-mode BN (frozen stats), params cast
+    decided by model dtype (reference: export.py:227-284 freezes BN +
+    requires_grad; XLA handles fusion)."""
+    return make_forward_fn(model, variables), variables
+
+
+def benchmark_model(
+    forward: Callable,
+    input_shape: Tuple[int, ...] = (1, 2, 1025, 259),
+    num_warmup: int = 3,
+    num_iters: int = 20,
+    hop_length: int = 512,
+    sample_rate: int = 44100,
+) -> Dict[str, float]:
+    """Latency/throughput benchmark (reference: export.py:287-363).
+
+    Reports ms/iter, items/s, and the audio real-time factor implied by the
+    spectrogram's frame count (reference: export.py:343-346)."""
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal(input_shape), jnp.float32)
+    for _ in range(num_warmup):
+        jax.block_until_ready(forward(x))
+    t0 = time.perf_counter()
+    for _ in range(num_iters):
+        out = forward(x)
+    jax.block_until_ready(out)
+    elapsed = time.perf_counter() - t0
+    ms_per_iter = 1000.0 * elapsed / num_iters
+    batch, _, _, time_frames = input_shape
+    audio_seconds = batch * time_frames * hop_length / sample_rate
+    return {
+        "ms_per_iter": ms_per_iter,
+        "iters_per_sec": num_iters / elapsed,
+        "batch_per_sec": batch * num_iters / elapsed,
+        "audio_sec_per_sec": audio_seconds / (elapsed / num_iters),
+        "rtf": (elapsed / num_iters) / audio_seconds,
+    }
+
+
+def export_model_info(
+    model: TFSWAUNet, variables: Dict, output_path: Optional[str] = None
+) -> Dict:
+    """Param counts + per-top-level-module breakdown -> JSON
+    (reference: export.py:366-402)."""
+    params = variables["params"]
+    per_module = {
+        name: int(
+            sum(p.size for p in jax.tree_util.tree_leaves(sub))
+        )
+        for name, sub in params.items()
+    }
+    total = int(sum(per_module.values()))
+    info = {
+        "architecture": "TFSWA-UNet (tfswa_tpu)",
+        "num_parameters": total,
+        "fp32_size_mb": total * 4 / 1024 / 1024,
+        "bf16_size_mb": total * 2 / 1024 / 1024,
+        "int8_size_mb": total / 1024 / 1024,
+        "modules": per_module,
+        "model_info": model.get_model_info(params),
+    }
+    if output_path:
+        with open(output_path, "w") as fh:
+            json.dump(info, fh, indent=2)
+    return info

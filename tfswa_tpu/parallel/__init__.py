@@ -1,0 +1,21 @@
+"""SPMD parallelism: mesh construction and GSPMD sharding rules."""
+from .mesh import create_mesh, mesh_from_config
+from .sharding import (
+    batch_sharding,
+    param_spec,
+    replicated,
+    shard_batch,
+    shard_variables,
+    variables_shardings,
+)
+
+__all__ = [
+    "create_mesh",
+    "mesh_from_config",
+    "param_spec",
+    "variables_shardings",
+    "batch_sharding",
+    "replicated",
+    "shard_variables",
+    "shard_batch",
+]
