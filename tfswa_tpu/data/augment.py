@@ -48,17 +48,21 @@ def gain(x: jnp.ndarray, gain_db: jnp.ndarray) -> jnp.ndarray:
 
 
 def phase_vocoder(
-    spec: jnp.ndarray, rate: jnp.ndarray, hop_length: int
+    spec: jnp.ndarray, rate: jnp.ndarray, hop_length: int,
+    out_frames: Optional[int] = None,
 ) -> jnp.ndarray:
     """Phase-vocoder time stretch of a complex spectrogram (..., F, T).
-    Output keeps T frames; content is stretched by ``rate`` with magnitude
-    interpolation + phase accumulation (librosa/torchaudio construction)."""
+    Output has ``out_frames`` frames (static; default T); output frame t
+    reads input position t*rate with magnitude interpolation + phase
+    accumulation (librosa/torchaudio construction)."""
     F_, T = spec.shape[-2:]
+    if out_frames is None:
+        out_frames = T
     n_fft = 2 * (F_ - 1)
     phi_advance = (
         2.0 * jnp.pi * hop_length * jnp.arange(F_, dtype=jnp.float32) / n_fft
     )[:, None]
-    steps = jnp.arange(T, dtype=jnp.float32) * rate
+    steps = jnp.arange(out_frames, dtype=jnp.float32) * rate
     idx0 = jnp.clip(jnp.floor(steps).astype(jnp.int32), 0, T - 1)
     idx1 = jnp.clip(idx0 + 1, 0, T - 1)
     frac = steps - idx0
@@ -84,15 +88,21 @@ def pitch_shift(
     semitones: jnp.ndarray,
     stft: STFTProcessor,
 ) -> jnp.ndarray:
-    """Pitch shift by fractional semitones at constant duration:
-    phase-vocoder stretch by 2^(s/12), then resample back
-    (reference: augmentation.py:95-126 via torchaudio PitchShift)."""
+    """Pitch shift by fractional semitones at constant duration
+    (reference: augmentation.py:95-126 via torchaudio PitchShift, which is
+    phase_vocoder(rate=2^(-s/12)) followed by resampling by 2^(s/12)).
+
+    The stretched intermediate is given 2T static frames so pitch-up shifts
+    to +12 semitones keep full coverage under jit's static shapes.
+    """
     S = x.shape[-1]
-    factor = 2.0 ** (semitones / 12.0)
+    rate = 2.0 ** (-semitones / 12.0)      # pv rate; < 1 stretches longer
+    factor = 1.0 / rate
     spec = stft.stft(x)
-    stretched = phase_vocoder(spec, factor, stft.hop_length)
-    wav = stft.istft(stretched, length=S)
-    positions = jnp.arange(S) / factor
+    T = spec.shape[-1]
+    stretched = phase_vocoder(spec, rate, stft.hop_length, out_frames=2 * T)
+    wav = stft.istft(stretched, length=2 * S)
+    positions = jnp.arange(S) * factor
     return _linear_resample_positions(wav, positions)
 
 

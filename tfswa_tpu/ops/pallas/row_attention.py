@@ -1,0 +1,153 @@
+"""Fused row-attention Pallas kernel for TSA / FSA / SW-MSA.
+
+The model's three attentions all reduce to independent rows (R, N, C) through
+qkv -> per-head softmax(q k^T) v -> out-proj (models/attention.py).  XLA
+cannot fuse dot -> softmax -> dot into one kernel, so the chunked XLA path
+round-trips a (chunk, H, N, N) score tensor through HBM twice per chunk —
+at stage 1 of the stock model that is ~0.5 GB of HBM traffic per 16-row
+chunk.  This kernel keeps everything in VMEM: each grid cell loads a block
+of rows, runs the fused qkv matmul (MXU), the per-head attention (scores
+never leave VMEM), and the output projection, writing only the final
+(Rb, N, C) block back to HBM.
+
+Backward: a custom VJP recomputes via the XLA path (flash-style remat) so
+the kernel trains out of the box — values are identical by the equivalence
+tests in tests/test_pallas.py.
+
+Head count is static and small (<= 8), so the head loop is a Python unroll
+with static lane slices — no unaligned dynamic slicing on the lane dim.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_VMEM_BUDGET = 6 * 1024 * 1024  # soft budget for per-cell intermediates
+
+
+def _row_block(N: int, C: int, num_heads: int) -> int:
+    """Rows per grid cell so scores + activations fit comfortably in VMEM."""
+    per_row = N * N * 4 + 10 * N * C * 4
+    return max(1, min(16, _VMEM_BUDGET // max(per_row, 1)))
+
+
+def _attention_kernel(x_ref, wqkv_ref, wproj_ref, bias_ref, out_ref,
+                      *, num_heads: int):
+    Rb, N, C = x_ref.shape
+    H = num_heads
+    D = C // H
+    scale = D ** -0.5
+
+    x = x_ref[:].astype(jnp.float32)
+    x2 = x.reshape(Rb * N, C)
+    qkv = jnp.dot(
+        x2, wqkv_ref[:].astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    ).reshape(Rb, N, 3 * C)
+
+    head_outs = []
+    for h in range(H):                       # static unroll, static lane slices
+        q = qkv[:, :, h * D : (h + 1) * D]
+        k = qkv[:, :, C + h * D : C + (h + 1) * D]
+        v = qkv[:, :, 2 * C + h * D : 2 * C + (h + 1) * D]
+        scores = jax.lax.dot_general(
+            q, k,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale                             # (Rb, N, N), lives in VMEM only
+        probs = jax.nn.softmax(scores, axis=-1)
+        head_outs.append(
+            jax.lax.dot_general(
+                probs, v,
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+        )                                     # (Rb, N, D)
+    merged = jnp.concatenate(head_outs, axis=-1)      # (Rb, N, C)
+    out = jnp.dot(
+        merged.reshape(Rb * N, C), wproj_ref[:].astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    ) + bias_ref[:].astype(jnp.float32)
+    out_ref[:] = out.reshape(Rb, N, C).astype(out_ref.dtype)
+
+
+def _flash_rows_impl(rows, qkv_kernel, proj_kernel, proj_bias, num_heads):
+    R, N, C = rows.shape
+    Rb = _row_block(N, C, num_heads)
+    pad = (-R) % Rb
+    padded = jnp.pad(rows, ((0, pad), (0, 0), (0, 0))) if pad else rows
+    Rp = R + pad
+
+    kernel = functools.partial(_attention_kernel, num_heads=num_heads)
+    out = pl.pallas_call(
+        kernel,
+        grid=(Rp // Rb,),
+        in_specs=[
+            pl.BlockSpec((Rb, N, C), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, 3 * C), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C,), lambda i: (0,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((Rb, N, C), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Rp, N, C), rows.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Rp * N * (3 * C * C + 2 * N * C + C * C),
+            bytes_accessed=Rp * N * C * 4 * 2,
+            transcendentals=Rp * num_heads * N * N,
+        ),
+    )(padded, qkv_kernel, proj_kernel, proj_bias)
+    return out[:R] if pad else out
+
+
+def _xla_reference(rows, qkv_kernel, proj_kernel, proj_bias, num_heads,
+                   chunk: int = 16):
+    """Chunked XLA computation of the same function (used for backward)."""
+    from ...models.attention import mha_rows
+
+    R = rows.shape[0]
+    if R <= chunk:
+        return mha_rows(rows, qkv_kernel, proj_kernel, proj_bias, num_heads)
+    pad = (-R) % chunk
+    padded = jnp.pad(rows, ((0, pad), (0, 0), (0, 0)))
+    chunks = padded.reshape(-1, chunk, *padded.shape[1:])
+    out = jax.lax.map(
+        lambda c: mha_rows(c, qkv_kernel, proj_kernel, proj_bias, num_heads),
+        chunks,
+    )
+    return out.reshape(-1, *padded.shape[1:])[:R]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def flash_row_attention(rows, qkv_kernel, proj_kernel, proj_bias, num_heads):
+    """softmax((x Wq)(x Wk)^T / sqrt(D)) (x Wv) Wo + b over independent rows.
+
+    rows: (R, N, C); kernels as in models/attention.RowBlockParams.
+    Forward runs the fused Pallas kernel; backward rematerializes through the
+    XLA path (identical values).
+    """
+    return _flash_rows_impl(rows, qkv_kernel, proj_kernel, proj_bias, num_heads)
+
+
+def _fwd(rows, qkv_kernel, proj_kernel, proj_bias, num_heads):
+    out = _flash_rows_impl(rows, qkv_kernel, proj_kernel, proj_bias, num_heads)
+    return out, (rows, qkv_kernel, proj_kernel, proj_bias)
+
+
+def _bwd(num_heads, residuals, g):
+    rows, qkv_kernel, proj_kernel, proj_bias = residuals
+    _, vjp = jax.vjp(
+        lambda r, wq, wp, b: _xla_reference(r, wq, wp, b, num_heads),
+        rows, qkv_kernel, proj_kernel, proj_bias,
+    )
+    return vjp(g)
+
+
+flash_row_attention.defvjp(_fwd, _bwd)
