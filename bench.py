@@ -2,9 +2,9 @@
 
 Measures audio-seconds separated per wall-clock second (the BASELINE.json
 metric) using the flagship 15.4M-param TFSWA-UNet in the trainer mask
-convention: 10 s segments, 50% overlap Hann OLA, n_fft 2048 / hop 512 —
-the exact pipeline of reference Trainer._separate_track
-(reference: trainer.py:349-451).
+convention: 10 s segments, 25% overlap Hann OLA, n_fft 2048 / hop 512 —
+the reference SourceSeparator pipeline (reference: inference.py:31-58) with
+the trainer's mask semantics (reference: trainer.py:415-436).
 
 Baseline: the reference paper separates 30 s of audio in 1.25 s on
 2x RTX 3090 => 24 audio-sec/sec (BASELINE.md "Paper inference time").
@@ -41,8 +41,8 @@ def main() -> None:
     proc = STFTProcessor(STFTConfig(n_fft=2048, hop_length=512))
     separator = SourceSeparator(
         model, variables, proc,
-        segment_length=10.0, overlap=0.5, mask_mode="trainer",
-        stem_names=("vocals", "other"), segment_batch=8,
+        segment_length=10.0, overlap=0.25, mask_mode="trainer",
+        stem_names=("vocals", "other"), segment_batch=4,
     )
 
     track_seconds = 120.0

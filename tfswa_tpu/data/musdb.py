@@ -44,11 +44,30 @@ VALIDATION_TRACKS = [
 ALL_SOURCES = ("vocals", "drums", "bass", "other")
 
 
+def _native_io():
+    try:
+        from .. import native
+
+        if native.available():
+            return native
+    except Exception:
+        pass
+    return None
+
+
 def load_chunk(
     path: str, start: int, num_frames: int, num_channels: int = 2
 ) -> np.ndarray:
     """Seek-read a (channels, num_frames) float32 slice from a wav; zero-pad
-    short reads; mono -> stereo expand (reference: musdb_dataset.py:17-47)."""
+    short reads; mono -> stereo expand (reference: musdb_dataset.py:17-47).
+
+    Uses the framework's native C++ reader (tfswa_tpu/native) when the
+    toolchain is available, soundfile otherwise.
+    """
+    nat = _native_io()
+    if nat is not None:
+        return nat.wav_read(path, start, num_frames, num_channels)
+
     import soundfile as sf
 
     with sf.SoundFile(path) as fh:
@@ -63,6 +82,18 @@ def load_chunk(
     if data.shape[1] < num_frames:
         data = np.pad(data, ((0, 0), (0, num_frames - data.shape[1])))
     return data
+
+
+def audio_file_frames(path: str) -> int:
+    """Total frames in a wav file (native reader first)."""
+    nat = _native_io()
+    if nat is not None:
+        return nat.wav_info(path)[0]
+
+    import soundfile as sf
+
+    with sf.SoundFile(path) as fh:
+        return len(fh)
 
 
 class MUSDB18Dataset:
@@ -125,10 +156,7 @@ class MUSDB18Dataset:
         return [os.path.join(base, d) for d in track_dirs]
 
     def _track_length(self, track_dir: str) -> int:
-        import soundfile as sf
-
-        with sf.SoundFile(os.path.join(track_dir, "vocals.wav")) as fh:
-            return len(fh)
+        return audio_file_frames(os.path.join(track_dir, "vocals.wav"))
 
     # ------------------------------------------------------------- indexing
     def _build_sequential_index(self) -> List[Tuple[int, int]]:

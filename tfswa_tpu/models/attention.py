@@ -302,11 +302,18 @@ class ShiftedWindowAttention(nn.Module, _RowBlockMixin):
         mask = None
         if self.use_shift_mask and ss > 0:
             m = jnp.asarray(swin_attention_mask(Hp, Wp, ws, ss))  # (nW, N, N)
-            n_win = m.shape[0]
             mask = jnp.tile(m[:, None], (B, 1, 1, 1))  # (B*nW, 1, N, N)
 
+        # Bound peak score memory: full-track spectrograms produce 100k+
+        # windows, and (R, heads, N, N) scores at once would be tens of GB.
+        # Chunk window-rows so in-flight scores stay ~32 MB (value-neutral,
+        # same tactic as the reference's TSA/FSA chunk; the reference never
+        # hits this because it separates one segment at a time).
+        N = ws * ws
+        swa_chunk = max(16, (32 * 1024 * 1024) // (self.num_heads * N * N * 4))
+
         windows = row_transformer_block(
-            windows, p, self.num_heads, chunk_size=None,
+            windows, p, self.num_heads, chunk_size=swa_chunk,
             attention_impl=self.attention_impl, mask=mask,
         )
 
