@@ -31,9 +31,12 @@ def main() -> None:
     from tfswa_tpu.models import TFSWAUNet
     from tfswa_tpu.ops.stft import STFTProcessor
 
-    # Flagship config: stereo-complex in, 2 stems out, bf16 compute on MXU.
+    # Flagship config: stereo-complex in, 2 stems out, bf16 compute on MXU,
+    # fused Pallas attention (6-7x the chunked-XLA path at full resolution,
+    # tools/bench_attention.py).
     model = TFSWAUNet(
         in_channels=4, out_channels=4, dtype=jnp.bfloat16,
+        attention_impl="pallas",
     )
     rng = jax.random.PRNGKey(0)
     variables = model.init(rng, jnp.zeros((1, 4, 1025, 259), jnp.float32))

@@ -107,14 +107,21 @@ def test_remat_matches(small_model_and_vars):
     np.testing.assert_allclose(np.asarray(base), np.asarray(remat), atol=1e-6)
 
 
-def test_shift_mask_mode(small_model_and_vars):
-    """use_shift_mask=True is a documented deviation: still valid outputs,
-    different values from the parity default."""
-    _, variables = small_model_and_vars
-    x = jnp.asarray(np.random.default_rng(5).standard_normal((1, 2, 32, 32)),
+def test_shift_mask_mode():
+    """use_shift_mask=True is a documented deviation: valid outputs that
+    differ from the parity default on a *shifted* window block (depth-1
+    stages only instantiate shift=0 blocks, so test the module directly)."""
+    from tfswa_tpu.models import ShiftedWindowAttention
+
+    x = jnp.asarray(np.random.default_rng(5).standard_normal((1, 16, 16, 8)),
                     jnp.float32)
-    base = TFSWAUNet(**SMALL).apply(variables, x, train=False)
-    masked = TFSWAUNet(**SMALL, use_shift_mask=True).apply(variables, x, train=False)
+    base_mod = ShiftedWindowAttention(dim=8, window_size=4, num_heads=2,
+                                      shift_size=2)
+    variables = base_mod.init(jax.random.PRNGKey(0), x)
+    base = base_mod.apply(variables, x)
+    masked_mod = ShiftedWindowAttention(dim=8, window_size=4, num_heads=2,
+                                        shift_size=2, use_shift_mask=True)
+    masked = masked_mod.apply(variables, x)
     assert np.isfinite(np.asarray(masked)).all()
     assert float(jnp.max(jnp.abs(masked - base))) > 0.0
 

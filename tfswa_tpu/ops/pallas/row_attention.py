@@ -27,12 +27,23 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_VMEM_BUDGET = 6 * 1024 * 1024  # soft budget for per-cell intermediates
+_VMEM_BUDGET = 10 * 1024 * 1024  # soft budget for per-cell intermediates
+
+
+def _align128(n: int) -> int:
+    return ((n + 127) // 128) * 128
 
 
 def _row_block(N: int, C: int, num_heads: int) -> int:
-    """Rows per grid cell so scores + activations fit comfortably in VMEM."""
-    per_row = N * N * 4 + 10 * N * C * 4
+    """Rows per grid cell such that per-cell intermediates stay within the
+    16 MB VMEM scoped limit.
+
+    Empirically (v5e), with Rb > 1 Mosaic keeps the unrolled heads' padded
+    score buffers live simultaneously (~H * N * align128(N) f32 per row),
+    while at Rb = 1 the sequential head chain reuses one buffer — so the
+    estimate scales with H and the floor of 1 is always safe.
+    """
+    per_row = num_heads * N * _align128(N) * 4 + 12 * N * C * 4
     return max(1, min(16, _VMEM_BUDGET // max(per_row, 1)))
 
 
