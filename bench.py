@@ -45,7 +45,7 @@ def main() -> None:
     separator = SourceSeparator(
         model, variables, proc,
         segment_length=10.0, overlap=0.25, mask_mode="trainer",
-        stem_names=("vocals", "other"), segment_batch=4,
+        stem_names=("vocals", "other"), segment_batch=8,
     )
 
     track_seconds = 120.0

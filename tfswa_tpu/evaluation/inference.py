@@ -155,16 +155,24 @@ class SourceSeparator:
             chunk = audio[0, start:end]
             batch[j, : end - start] = chunk
 
-        outs = []
         bs = self.segment_batch
         n = len(bounds)
+        # Dispatch every batch before fetching any result: device compute for
+        # batch j+1 overlaps the (slow, ~35 MB/s through the tunnel) d2h
+        # transfer of batch j.
+        handles = []
         for j0 in range(0, n, bs):
             block = batch[j0 : j0 + bs]
             if block.shape[0] < bs:
                 # pad to the compiled batch size to avoid a recompile
                 block = np.pad(block, ((0, bs - block.shape[0]), (0, 0)))
-            res = np.asarray(self._jit_separate(self.variables, jnp.asarray(block)))
-            outs.append(res[: min(bs, n - j0)])
+            handles.append(
+                self._jit_separate(self.variables, jnp.asarray(block))
+            )
+        outs = [
+            np.asarray(res)[: min(bs, n - j0)]
+            for j0, res in zip(range(0, n, bs), handles)
+        ]
         separated_segments = np.concatenate(outs, axis=0)   # (n, n_stems, seg)
 
         out = {name: np.zeros((1, total), dtype=np.float32) for name in stems}

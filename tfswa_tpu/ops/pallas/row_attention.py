@@ -44,7 +44,60 @@ def _row_block(N: int, C: int, num_heads: int) -> int:
     estimate scales with H and the floor of 1 is always safe.
     """
     per_row = num_heads * N * _align128(N) * 4 + 12 * N * C * 4
-    return max(1, min(16, _VMEM_BUDGET // max(per_row, 1)))
+    cap = max(16, 2048 // max(N, 1))   # small-N (window) rows: larger blocks
+    return max(1, min(cap, _VMEM_BUDGET // max(per_row, 1)))
+
+
+def _attention_kernel_bilinear(x_ref, a_ref, wv_ref, wproj_ref, bias_ref,
+                               out_ref, *, num_heads: int):
+    """Bilinear-form attention: no per-head lane slicing anywhere.
+
+    With head_dim as small as 4, slicing per-head (N, D) activations forces
+    Mosaic lane repacks on every head.  Instead use the identity
+        scores_h = (x Wq_h)(x Wk_h)^T = x A_h x^T,
+    A_h = Wq_h Wk_h^T / sqrt(D) precomputed per head (C x C), and accumulate
+        out += softmax(x A_h x^T) @ (v * lane_mask_h)
+    where the lane mask zeroes all but head h's D columns of v = x Wv — an
+    elementwise select, not a slice.  The head loop is a fori_loop, so score
+    buffers are provably reused (one live (Rb, N, N) plane, not H).
+    """
+    Rb, N, C = x_ref.shape
+    H = num_heads
+    D = C // H
+    compute_dtype = x_ref.dtype
+
+    x = x_ref[:]                                        # (Rb, N, C)
+    v = jax.lax.dot_general(
+        x, wv_ref[:], (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(compute_dtype)                             # (Rb, N, C)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, C), 2)
+
+    def head_body(h, acc):
+        a_h = a_ref[h]                                  # (C, C), no lane slice
+        t = jax.lax.dot_general(
+            x, a_h, (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(compute_dtype)                         # (Rb, N, C)
+        scores = jax.lax.dot_general(
+            t, x, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )                                               # (Rb, N, N), VMEM only
+        probs = jax.nn.softmax(scores, axis=-1).astype(compute_dtype)
+        v_h = jnp.where(lane // D == h, v, 0).astype(compute_dtype)
+        return acc + jax.lax.dot_general(
+            probs, v_h, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+
+    acc = jax.lax.fori_loop(
+        0, H, head_body, jnp.zeros((Rb, N, C), jnp.float32)
+    )
+    out = jnp.dot(
+        acc.astype(compute_dtype).reshape(Rb * N, C), wproj_ref[:],
+        preferred_element_type=jnp.float32,
+    ) + bias_ref[:].astype(jnp.float32)
+    out_ref[:] = out.reshape(Rb, N, C).astype(out_ref.dtype)
 
 
 def _attention_kernel(x_ref, wqkv_ref, wproj_ref, bias_ref, out_ref,
@@ -54,12 +107,14 @@ def _attention_kernel(x_ref, wqkv_ref, wproj_ref, bias_ref, out_ref,
     D = C // H
     scale = D ** -0.5
 
-    x = x_ref[:].astype(jnp.float32)
-    x2 = x.reshape(Rb * N, C)
+    # Matmuls run in the caller's compute dtype (bf16 -> full-rate MXU)
+    # with f32 accumulation; softmax always reduces in f32.
+    compute_dtype = x_ref.dtype
+    x2 = x_ref[:].reshape(Rb * N, C)
     qkv = jnp.dot(
-        x2, wqkv_ref[:].astype(jnp.float32),
+        x2, wqkv_ref[:],
         preferred_element_type=jnp.float32,
-    ).reshape(Rb, N, 3 * C)
+    ).astype(compute_dtype).reshape(Rb, N, 3 * C)
 
     head_outs = []
     for h in range(H):                       # static unroll, static lane slices
@@ -71,7 +126,7 @@ def _attention_kernel(x_ref, wqkv_ref, wproj_ref, bias_ref, out_ref,
             dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         ) * scale                             # (Rb, N, N), lives in VMEM only
-        probs = jax.nn.softmax(scores, axis=-1)
+        probs = jax.nn.softmax(scores, axis=-1).astype(compute_dtype)
         head_outs.append(
             jax.lax.dot_general(
                 probs, v,
@@ -79,30 +134,62 @@ def _attention_kernel(x_ref, wqkv_ref, wproj_ref, bias_ref, out_ref,
                 preferred_element_type=jnp.float32,
             )
         )                                     # (Rb, N, D)
-    merged = jnp.concatenate(head_outs, axis=-1)      # (Rb, N, C)
+    merged = jnp.concatenate(
+        [h.astype(compute_dtype) for h in head_outs], axis=-1
+    )                                                 # (Rb, N, C)
     out = jnp.dot(
-        merged.reshape(Rb * N, C), wproj_ref[:].astype(jnp.float32),
+        merged.reshape(Rb * N, C), wproj_ref[:],
         preferred_element_type=jnp.float32,
     ) + bias_ref[:].astype(jnp.float32)
     out_ref[:] = out.reshape(Rb, N, C).astype(out_ref.dtype)
 
 
+_SCORE_BUDGET = 8 * 1024 * 1024
+
+
+def _bilinear_row_block(N: int, C: int) -> int:
+    """Rows per grid cell: the head fori_loop keeps exactly one live score
+    plane (f32) + one probs plane, so the bound is per-row, not per-head."""
+    per_row = 2 * N * _align128(N) * 4 + 8 * N * _align128(C) * 4
+    return max(1, min(32, _SCORE_BUDGET // max(per_row, 1)))
+
+
+def _bilinear_weights(qkv_kernel, num_heads: int):
+    """A (H, C, C) with A_h = Wq_h Wk_h^T / sqrt(D), plus Wv (C, C)."""
+    C = qkv_kernel.shape[0]
+    H = num_heads
+    D = C // H
+    wq = qkv_kernel[:, :C].astype(jnp.float32)
+    wk = qkv_kernel[:, C : 2 * C].astype(jnp.float32)
+    wv = qkv_kernel[:, 2 * C :]
+    wq_h = wq.reshape(C, H, D).transpose(1, 0, 2)      # (H, C, D)
+    wk_h = wk.reshape(C, H, D).transpose(1, 0, 2)
+    a = jnp.einsum("hcd,hed->hce", wq_h, wk_h) * (D ** -0.5)
+    return a, wv
+
+
 def _flash_rows_impl(rows, qkv_kernel, proj_kernel, proj_bias, num_heads):
     R, N, C = rows.shape
-    Rb = _row_block(N, C, num_heads)
+    Rb = _bilinear_row_block(N, C)
     pad = (-R) % Rb
     padded = jnp.pad(rows, ((0, pad), (0, 0), (0, 0))) if pad else rows
     Rp = R + pad
 
-    kernel = functools.partial(_attention_kernel, num_heads=num_heads)
+    a, wv = _bilinear_weights(qkv_kernel, num_heads)
+    a = a.astype(rows.dtype)
+    wv = wv.astype(rows.dtype)
+
+    kernel = functools.partial(_attention_kernel_bilinear, num_heads=num_heads)
+    H = num_heads
     out = pl.pallas_call(
         kernel,
         grid=(Rp // Rb,),
         in_specs=[
             pl.BlockSpec((Rb, N, C), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((C, 3 * C), lambda i: (0, 0),
+            pl.BlockSpec((H, C, C), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((C, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((C,), lambda i: (0,), memory_space=pltpu.VMEM),
         ],
@@ -110,11 +197,11 @@ def _flash_rows_impl(rows, qkv_kernel, proj_kernel, proj_bias, num_heads):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Rp, N, C), rows.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=2 * Rp * N * (3 * C * C + 2 * N * C + C * C),
+            flops=2 * Rp * N * (num_heads * C * C + 2 * N * C + 2 * C * C),
             bytes_accessed=Rp * N * C * 4 * 2,
             transcendentals=Rp * num_heads * N * N,
         ),
-    )(padded, qkv_kernel, proj_kernel, proj_bias)
+    )(padded, a, wv, proj_kernel.astype(rows.dtype), proj_bias)
     return out[:R] if pad else out
 
 
