@@ -93,11 +93,14 @@ def _attention_kernel_bilinear(x_ref, a_ref, wv_ref, wproj_ref, bias_ref,
     acc = jax.lax.fori_loop(
         0, H, head_body, jnp.zeros((Rb, N, C), jnp.float32)
     )
-    out = jnp.dot(
-        acc.astype(compute_dtype).reshape(Rb * N, C), wproj_ref[:],
+    # dot_general (not reshape+dot): Mosaic rejects merging leading dims when
+    # N is not sublane-aligned (e.g. (4, 259, 32) -> (1036, 32)).
+    out = jax.lax.dot_general(
+        acc.astype(compute_dtype), wproj_ref[:],
+        (((2,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) + bias_ref[:].astype(jnp.float32)
-    out_ref[:] = out.reshape(Rb, N, C).astype(out_ref.dtype)
+    out_ref[:] = out.astype(out_ref.dtype)
 
 
 def _attention_kernel(x_ref, wqkv_ref, wproj_ref, bias_ref, out_ref,
@@ -147,9 +150,15 @@ def _attention_kernel(x_ref, wqkv_ref, wproj_ref, bias_ref, out_ref,
 _SCORE_BUDGET = 8 * 1024 * 1024
 
 
-def _bilinear_row_block(N: int, C: int) -> int:
+def _bilinear_row_block(N: int, C: int, dtype) -> int:
     """Rows per grid cell: the head fori_loop keeps exactly one live score
-    plane (f32) + one probs plane, so the bound is per-row, not per-head."""
+    plane (f32) + one probs plane, so the bound is per-row, not per-head.
+
+    Rb > 1 requires N to be sublane-tile aligned: Mosaic lowers the batched
+    dots by merging (Rb, N) and rejects the merge otherwise."""
+    sublane = 16 if dtype == jnp.bfloat16 else 8
+    if N % sublane != 0:
+        return 1
     per_row = 2 * N * _align128(N) * 4 + 8 * N * _align128(C) * 4
     return max(1, min(32, _SCORE_BUDGET // max(per_row, 1)))
 
@@ -170,7 +179,7 @@ def _bilinear_weights(qkv_kernel, num_heads: int):
 
 def _flash_rows_impl(rows, qkv_kernel, proj_kernel, proj_bias, num_heads):
     R, N, C = rows.shape
-    Rb = _bilinear_row_block(N, C)
+    Rb = _bilinear_row_block(N, C, rows.dtype)
     pad = (-R) % Rb
     padded = jnp.pad(rows, ((0, pad), (0, 0), (0, 0))) if pad else rows
     Rp = R + pad
