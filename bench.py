@@ -46,6 +46,7 @@ def main() -> None:
         model, variables, proc,
         segment_length=10.0, overlap=0.25, mask_mode="trainer",
         stem_names=("vocals", "other"), segment_batch=8,
+        transfer_dtype="float16",   # halve audio IO on the slow dev tunnel
     )
 
     track_seconds = 120.0

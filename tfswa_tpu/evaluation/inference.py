@@ -56,6 +56,7 @@ class SourceSeparator:
         mask_mode: str = "trainer",
         stem_names: Sequence[str] = ("vocals", "other"),
         segment_batch: int = 8,
+        transfer_dtype: str = "float32",
     ):
         self.model = model
         self.variables = variables
@@ -66,6 +67,9 @@ class SourceSeparator:
         self.mask_mode = mask_mode
         self.default_stems = tuple(stem_names)
         self.segment_batch = segment_batch
+        # float16 halves host<->device audio traffic (66 dB SNR, far below
+        # separation noise floors); float32 is the parity default.
+        self.transfer_dtype = np.dtype(transfer_dtype)
 
         self.sample_rate = stft_processor.sample_rate
         self.segment_samples = int(segment_length * self.sample_rate)
@@ -82,6 +86,7 @@ class SourceSeparator:
     def _separate_batch_impl(self, variables, segments: jnp.ndarray) -> jnp.ndarray:
         """(B, S) mono segments -> (B, n_stems, S) separated audio."""
         B, S = segments.shape
+        segments = segments.astype(jnp.float32)
         wav = jnp.repeat(segments[:, None, :], self.model_audio_channels, axis=1)
         spec = self.stft_processor.stft(wav)                # (B, C, F, T)
         model_input = self.stft_processor.to_model_input(spec)
@@ -105,7 +110,7 @@ class SourceSeparator:
             masked = apply_direct_masks(out, spec, self.n_stems)  # (B, S, C, F, T)
             audio = self.stft_processor.istft(masked, length=S)
             audio = jnp.mean(audio, axis=2)                 # mono out
-        return audio                                        # (B, n_stems, S)
+        return audio.astype(jnp.dtype(self.transfer_dtype))  # (B, n_stems, S)
 
     # ---------------------------------------------------------------- api
     def separate(
@@ -123,10 +128,10 @@ class SourceSeparator:
         seg = self.segment_samples
 
         if total <= seg:
-            padded = np.pad(audio[0], (0, seg - total))
+            padded = np.pad(audio[0], (0, seg - total)).astype(self.transfer_dtype)
             out = np.asarray(
                 self._jit_separate(self.variables, jnp.asarray(padded[None]))
-            )[0, :, :total]
+            ).astype(np.float32)[0, :, :total]
             return {name: out[i : i + 1] for i, name in enumerate(stems)}
         return self._separate_long(audio, stems)
 
@@ -150,7 +155,7 @@ class SourceSeparator:
                 start = max(0, end - seg)
             bounds.append((start, end))
 
-        batch = np.zeros((len(bounds), seg), dtype=np.float32)
+        batch = np.zeros((len(bounds), seg), dtype=self.transfer_dtype)
         for j, (start, end) in enumerate(bounds):
             chunk = audio[0, start:end]
             batch[j, : end - start] = chunk
@@ -170,7 +175,7 @@ class SourceSeparator:
                 self._jit_separate(self.variables, jnp.asarray(block))
             )
         outs = [
-            np.asarray(res)[: min(bs, n - j0)]
+            np.asarray(res).astype(np.float32)[: min(bs, n - j0)]
             for j0, res in zip(range(0, n, bs), handles)
         ]
         separated_segments = np.concatenate(outs, axis=0)   # (n, n_stems, seg)
