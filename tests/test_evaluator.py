@@ -69,3 +69,26 @@ def test_max_tracks(separator):
                           segment_seconds=1.0)
     results = ev.evaluate()
     assert len(results["tracks"]) == 1
+
+
+def test_evaluator_skips_failing_tracks(separator):
+    """Per-track error capture: one broken track must not kill the run
+    (reference: evaluator.py:105-109)."""
+
+    class FlakyDataset:
+        track_names = ["good", "bad"]
+
+        def get_full_track(self, i):
+            if i == 1:
+                raise IOError("corrupt track")
+            ds = SyntheticDataset(num_tracks=1, track_seconds=1.5,
+                                  sample_rate=SR, seed=5)
+            return ds.get_full_track(0)
+
+    ev = MUSDB18Evaluator(separator, FlakyDataset(), use_museval=False,
+                          segment_seconds=1.0)
+    import warnings as _w
+    with _w.catch_warnings():
+        _w.simplefilter("ignore")
+        results = ev.evaluate()
+    assert list(results["tracks"]) == ["good"]

@@ -160,3 +160,33 @@ def test_restore_variables_for_inference(setup, tmp_path):
     variables, saved_cfg = restore_variables(str(tmp_path / "ckpt2"))
     assert "params" in variables and "batch_stats" in variables
     assert saved_cfg["model"]["dims"] == [8, 16, 32, 64]
+
+
+def test_four_stem_train_step():
+    """4-stem capability (reference: musdb_dataset.py stems selection +
+    train.py out_channels = 2 * n_stems)."""
+    stems4 = ("vocals", "drums", "bass", "other")
+    cfg = Config(
+        model=ModelConfig(
+            in_channels=4, out_channels=8, depths=(1, 1, 1, 1),
+            dims=(8, 16, 32, 64), window_size=4, shift_size=2, num_heads=2,
+        ),
+        stft=STFTConfig(n_fft=256, hop_length=64, sample_rate=8000),
+        train=TrainConfig(learning_rate=1e-3),
+    )
+    proc = STFTProcessor(cfg.stft)
+    F = 129
+    T = 2048 // 64 + 1
+    model, state = create_train_state(
+        cfg, jax.random.PRNGKey(0), (1, 4, F, T), steps_per_epoch=10
+    )
+    step = jax.jit(make_train_step(model, proc, stems4))
+    rng = np.random.default_rng(9)
+    mixtures = jnp.asarray(rng.standard_normal((2, 2, 2048)).astype(np.float32))
+    targets = {
+        s: jnp.asarray(rng.standard_normal((2, 2, 2048)).astype(np.float32) * 0.2)
+        for s in stems4
+    }
+    state, loss_dict = step(state, mixtures, targets)
+    for s in stems4:
+        assert np.isfinite(float(loss_dict[f"l1_{s}"]))

@@ -1,6 +1,7 @@
 """TFSWA-UNet model family (flax.linen, NHWC internals)."""
 from .attention import (
     FrequencySequenceAttention,
+    scaled_dot_product_attention,
     MultiHeadAttention,
     RowBlockParams,
     ShiftedWindowAttention,
@@ -22,5 +23,6 @@ __all__ = [
     "MultiHeadAttention",
     "RowBlockParams",
     "mha_rows",
+    "scaled_dot_product_attention",
     "row_transformer_block",
 ]

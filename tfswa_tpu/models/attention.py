@@ -58,6 +58,27 @@ def _layer_norm(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
     return (y * scale + bias).astype(x.dtype)
 
 
+def scaled_dot_product_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+):
+    """Standalone qk^T-softmax-v helper, API parity with the reference's
+    (never-used) module (reference: attention.py:12-31).  Boolean masks
+    follow masked_fill(~mask, -inf).  Returns (output, weights)."""
+    scale = q.shape[-1] ** -0.5
+    scores = jnp.einsum(
+        "...nd,...md->...nm", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    if mask is not None:
+        scores = jnp.where(mask, scores, -jnp.inf) if mask.dtype == jnp.bool_ \
+            else scores + mask
+    weights = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+    output = jnp.einsum("...nm,...md->...nd", weights.astype(v.dtype), v)
+    return output, weights
+
+
 def mha_rows(
     rows: jnp.ndarray,
     qkv_kernel: jnp.ndarray,

@@ -16,6 +16,8 @@ from .export import (
     optimize_for_inference,
 )
 from .quantization import (
+    QuantizationConfig,
+    prepare_qat,
     QuantizedModel,
     benchmark_quantized_model,
     compare_models,
@@ -40,6 +42,8 @@ __all__ = [
     "export_model_info",
     "make_forward_fn",
     "quantize_params",
+    "prepare_qat",
+    "QuantizationConfig",
     "dequantize_params",
     "fake_quantize_params",
     "quantize_dynamic",

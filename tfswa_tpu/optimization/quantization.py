@@ -122,6 +122,36 @@ def quantize_static(
     return quantize_dynamic(model, variables)
 
 
+def prepare_qat(model: TFSWAUNet, variables: Dict) -> Dict:
+    """QAT preparation (reference: quantization.py:155-204): returns
+    variables whose params carry int8 quantization error (quantize ->
+    dequantize), ready to fine-tune at the quantized operating point."""
+    return {
+        "params": fake_quantize_params(variables["params"]),
+        "batch_stats": variables["batch_stats"],
+    }
+
+
+import dataclasses as _dataclasses
+
+
+@_dataclasses.dataclass
+class QuantizationConfig:
+    """Config holder (reference: quantization.py:374-402)."""
+
+    mode: str = "dynamic"         # dynamic | static | qat
+    dtype: str = "int8"
+    per_channel: bool = True
+
+    def apply(self, model: TFSWAUNet, variables: Dict):
+        if self.mode in ("dynamic", "static"):
+            fn = quantize_dynamic if self.mode == "dynamic" else quantize_static
+            return fn(model, variables)
+        if self.mode == "qat":
+            return prepare_qat(model, variables)
+        raise ValueError(f"unknown quantization mode {self.mode}")
+
+
 def compare_models(
     model: TFSWAUNet,
     variables: Dict,

@@ -1,5 +1,6 @@
 """Training: losses, train state/steps, checkpointing, trainer loop."""
 from .losses import (
+    PerceptualLoss,
     l1_spectrogram_loss,
     multi_resolution_stft_loss,
     source_separation_loss,
@@ -14,6 +15,7 @@ from .train_state import (
 from .checkpointing import CheckpointManager, restore_variables
 
 __all__ = [
+    "PerceptualLoss",
     "l1_spectrogram_loss",
     "multi_resolution_stft_loss",
     "source_separation_loss",

@@ -71,6 +71,20 @@ def multi_resolution_stft_loss(
     return _guard(total / len(fft_sizes))
 
 
+class PerceptualLoss:
+    """Placeholder, API parity with the reference's unimplemented class
+    (reference: losses.py:286-304 raises NotImplementedError)."""
+
+    def __init__(self, *args, **kwargs):
+        pass
+
+    def __call__(self, *args, **kwargs):
+        raise NotImplementedError(
+            "PerceptualLoss is a declared-but-unimplemented capability in the "
+            "reference as well (reference: losses.py:296-297)"
+        )
+
+
 def source_separation_loss(
     pred_specs: Dict[str, jnp.ndarray],
     target_specs: Dict[str, jnp.ndarray],
