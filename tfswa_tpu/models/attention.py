@@ -139,13 +139,17 @@ def row_transformer_block(
         # Bound peak score memory to (chunk, H, N, N) — functionally identical
         # to full attention; mirrors the reference's row chunking
         # (reference: attention.py:147-155) as a sequential lax.map.
+        # jax.checkpoint keeps the BACKWARD bounded too: without it the scan
+        # VJP stacks every chunk's (chunk, H, N, N) probs as residuals.
         R = rows.shape[0]
         pad = (-R) % chunk_size
         padded = jnp.pad(normed, ((0, pad), (0, 0), (0, 0)))
         chunks = padded.reshape(-1, chunk_size, *padded.shape[1:])
         attn = jax.lax.map(
-            lambda c: mha_rows(c, p.qkv_kernel, p.proj_kernel, p.proj_bias,
-                               num_heads),
+            jax.checkpoint(
+                lambda c: mha_rows(c, p.qkv_kernel, p.proj_kernel, p.proj_bias,
+                                   num_heads)
+            ),
             chunks,
         )
         attn = attn.reshape(-1, *padded.shape[1:])[:R]

@@ -225,8 +225,12 @@ def _xla_reference(rows, qkv_kernel, proj_kernel, proj_bias, num_heads,
     pad = (-R) % chunk
     padded = jnp.pad(rows, ((0, pad), (0, 0), (0, 0)))
     chunks = padded.reshape(-1, chunk, *padded.shape[1:])
+    # remat per chunk: the scan VJP would otherwise stack every chunk's
+    # (chunk, H, N, N) probs as residuals — tens of GB at stage-1 shapes.
     out = jax.lax.map(
-        lambda c: mha_rows(c, qkv_kernel, proj_kernel, proj_bias, num_heads),
+        jax.checkpoint(
+            lambda c: mha_rows(c, qkv_kernel, proj_kernel, proj_bias, num_heads)
+        ),
         chunks,
     )
     return out.reshape(-1, *padded.shape[1:])[:R]
