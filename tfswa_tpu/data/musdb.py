@@ -139,24 +139,50 @@ class MUSDB18Dataset:
 
     # ----------------------------------------------------------- discovery
     def _discover_tracks(self) -> List[str]:
-        """HQ layout: root/{train,test}/<track>/vocals.wav etc.
-        (reference format autodetect: musdb_dataset.py:167-186)."""
+        """Format autodetect (reference: musdb_dataset.py:167-186): prefer the
+        HQ wav layout root/{train,test}/<track>/vocals.wav; fall back to the
+        musdb package (.stem.mp4 archives) when no wavs are found."""
+        self._mode = "hq"
         subset = "test" if self.split == "test" else "train"
         base = os.path.join(self.root, subset)
-        if not os.path.isdir(base):
-            return []
-        track_dirs = sorted(
-            d for d in os.listdir(base)
-            if os.path.isfile(os.path.join(base, d, "vocals.wav"))
-        )
-        if self.split == "train":
-            track_dirs = [d for d in track_dirs if d not in VALIDATION_TRACKS]
-        elif self.split == "valid":
-            track_dirs = [d for d in track_dirs if d in VALIDATION_TRACKS]
-        return [os.path.join(base, d) for d in track_dirs]
+        if os.path.isdir(base):
+            track_dirs = sorted(
+                d for d in os.listdir(base)
+                if os.path.isfile(os.path.join(base, d, "vocals.wav"))
+            )
+            if track_dirs:
+                if self.split == "train":
+                    track_dirs = [d for d in track_dirs
+                                  if d not in VALIDATION_TRACKS]
+                elif self.split == "valid":
+                    track_dirs = [d for d in track_dirs
+                                  if d in VALIDATION_TRACKS]
+                return [os.path.join(base, d) for d in track_dirs]
+        return self._discover_musdb_pkg(subset)
 
-    def _track_length(self, track_dir: str) -> int:
-        return audio_file_frames(os.path.join(track_dir, "vocals.wav"))
+    def _discover_musdb_pkg(self, subset: str) -> List:
+        """.stem.mp4 layout via the musdb package (reference fallback loader:
+        musdb_dataset.py:326-410).  Requires `pip install musdb` (stempeg)."""
+        try:
+            import musdb as musdb_pkg
+        except ImportError:
+            return []
+        kwargs = {"root": self.root, "subsets": [subset]}
+        if subset == "train" and self.split in ("train", "valid"):
+            kwargs["split"] = self.split
+        try:
+            db = musdb_pkg.DB(**kwargs)
+        except Exception:
+            return []
+        if not db.tracks:
+            return []
+        self._mode = "pkg"
+        return list(db.tracks)
+
+    def _track_length(self, track) -> int:
+        if self._mode == "pkg":
+            return int(track.duration * track.rate)
+        return audio_file_frames(os.path.join(track, "vocals.wav"))
 
     # ------------------------------------------------------------- indexing
     def _build_sequential_index(self) -> List[Tuple[int, int]]:
@@ -213,6 +239,27 @@ class MUSDB18Dataset:
             raise KeyError(f"unknown stem {stem}")
         return sources[stem]
 
+    def _load_stems_pkg(
+        self, track, start: int
+    ) -> Tuple[np.ndarray, Dict[str, np.ndarray]]:
+        """Chunked read through the musdb package (reference fallback loader:
+        musdb_dataset.py:326-410): set chunk window, decode, planar f32."""
+        track.chunk_start = start / track.rate
+        track.chunk_duration = self.segment_samples / track.rate
+
+        def planar(audio) -> np.ndarray:
+            a = np.asarray(audio, np.float32).T          # (channels, S)
+            if a.shape[0] == 1:
+                a = np.repeat(a, 2, axis=0)
+            if a.shape[1] < self.segment_samples:
+                a = np.pad(a, ((0, 0), (0, self.segment_samples - a.shape[1])))
+            return a[:, : self.segment_samples]
+
+        mixture = planar(track.audio)
+        sources = {s: planar(track.targets[s].audio) for s in ALL_SOURCES}
+        targets = {stem: self._select_stem(stem, sources) for stem in self.stems}
+        return mixture, targets
+
     def __getitem__(self, idx: int) -> Tuple[np.ndarray, Dict[str, np.ndarray]]:
         if self.random_segments:
             ti = idx % len(self.tracks)
@@ -222,6 +269,8 @@ class MUSDB18Dataset:
         else:
             ti, start = self._index[idx]
         try:
+            if self._mode == "pkg":
+                return self._load_stems_pkg(self.tracks[ti], start)
             return self._load_stems(self.tracks[ti], start)
         except Exception as exc:  # pragma: no cover - IO resilience
             # fallback chain ends in zeros (reference: musdb_dataset.py:338-354)
@@ -234,6 +283,19 @@ class MUSDB18Dataset:
     ) -> Tuple[np.ndarray, Dict[str, np.ndarray]]:
         """Full-length mixture + targets for evaluation
         (reference: musdb_dataset.py:462-491)."""
+        if self._mode == "pkg":
+            track = self.tracks[track_idx]
+            track.chunk_start = 0
+            track.chunk_duration = None
+            mixture = np.asarray(track.audio, np.float32).T
+            sources = {
+                s: np.asarray(track.targets[s].audio, np.float32).T
+                for s in ALL_SOURCES
+            }
+            targets = {
+                stem: self._select_stem(stem, sources) for stem in self.stems
+            }
+            return mixture, targets
         track_dir = self.tracks[track_idx]
         length = self._track_lengths[track_idx]
         files = self._source_files(track_dir)
@@ -244,6 +306,8 @@ class MUSDB18Dataset:
 
     @property
     def track_names(self) -> List[str]:
+        if self._mode == "pkg":
+            return [t.name for t in self.tracks]
         return [os.path.basename(t) for t in self.tracks]
 
 
