@@ -117,4 +117,3 @@ def main():
 if __name__ == "__main__":
     main()
 
-# variant: bf16 scores output (halves VMEM traffic of the score planes)
