@@ -47,6 +47,7 @@ def main() -> None:
         segment_length=10.0, overlap=0.25, mask_mode="trainer",
         stem_names=("vocals", "other"), segment_batch=8,
         transfer_dtype="float16",   # halve audio IO on the slow dev tunnel
+        device_ola=True,            # whole-track OLA on device: one h2d/d2h
     )
 
     track_seconds = 120.0

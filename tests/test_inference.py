@@ -99,3 +99,25 @@ def test_batch_separator_error_capture(separator, tmp_path):
     bs = BatchSeparator(separator)
     results = bs.separate_files(["/nonexistent/file.wav"], str(tmp_path))
     assert results["/nonexistent/file.wav"]["status"] == "error"
+
+
+def test_device_ola_matches_host(separator):
+    """Device-side OLA must match the host path in the interior (they differ
+    only within the final partial hop by construction)."""
+    model, variables, proc = separator.model, separator.variables, separator.stft_processor
+    dev = SourceSeparator(
+        model, variables, proc, segment_length=1.0, overlap=0.25,
+        mask_mode="trainer", segment_batch=4, device_ola=True,
+        ola_bucket_seconds=2.0,
+    )
+    audio = _sine(440, int(SR * 3.0))
+    host = separator.separate(audio)
+    device = dev.separate(audio)
+    # identical until the host path's clamped final segment begins
+    # (host clamps the last window start; device uses a uniform padded grid)
+    interior = slice(0, int(SR * 3.0) - separator.segment_samples)
+    np.testing.assert_allclose(
+        device["vocals"][0][interior], host["vocals"][0][interior], atol=2e-3
+    )
+    assert device["vocals"].shape == (1, int(SR * 3.0))
+    assert np.isfinite(device["vocals"]).all()

@@ -57,6 +57,8 @@ class SourceSeparator:
         stem_names: Sequence[str] = ("vocals", "other"),
         segment_batch: int = 8,
         transfer_dtype: str = "float32",
+        device_ola: bool = False,
+        ola_bucket_seconds: float = 30.0,
     ):
         self.model = model
         self.variables = variables
@@ -70,6 +72,17 @@ class SourceSeparator:
         # float16 halves host<->device audio traffic (66 dB SNR, far below
         # separation noise floors); float32 is the parity default.
         self.transfer_dtype = np.dtype(transfer_dtype)
+        # device_ola: run the ENTIRE overlap-add on device — one h2d of the
+        # mono track, one d2h of the stems.  Track lengths are bucketed to
+        # ola_bucket_seconds multiples to bound recompiles.  Off by default:
+        # the host path reproduces the reference's exact last-segment
+        # clamping (reference: inference.py:193-196); the device path uses a
+        # uniform zero-padded grid (same values except within the final
+        # partial hop).
+        self.device_ola = device_ola
+        self.ola_bucket_samples = int(
+            ola_bucket_seconds * stft_processor.sample_rate
+        )
 
         self.sample_rate = stft_processor.sample_rate
         self.segment_samples = int(segment_length * self.sample_rate)
@@ -81,10 +94,17 @@ class SourceSeparator:
         self.model_audio_channels = model.in_channels // 2
 
         self._jit_separate = jax.jit(self._separate_batch_impl)
+        self._jit_device_ola = jax.jit(self._device_ola_impl)
 
     # --------------------------------------------------------------- core
     def _separate_batch_impl(self, variables, segments: jnp.ndarray) -> jnp.ndarray:
-        """(B, S) mono segments -> (B, n_stems, S) separated audio."""
+        """(B, S) mono segments -> (B, n_stems, S) in the transfer dtype."""
+        return self._separate_core(variables, segments).astype(
+            jnp.dtype(self.transfer_dtype)
+        )
+
+    def _separate_core(self, variables, segments: jnp.ndarray) -> jnp.ndarray:
+        """(B, S) mono segments -> (B, n_stems, S) separated audio (f32)."""
         B, S = segments.shape
         segments = segments.astype(jnp.float32)
         wav = jnp.repeat(segments[:, None, :], self.model_audio_channels, axis=1)
@@ -110,7 +130,50 @@ class SourceSeparator:
             masked = apply_direct_masks(out, spec, self.n_stems)  # (B, S, C, F, T)
             audio = self.stft_processor.istft(masked, length=S)
             audio = jnp.mean(audio, axis=2)                 # mono out
-        return audio.astype(jnp.dtype(self.transfer_dtype))  # (B, n_stems, S)
+        return audio                                        # (B, n_stems, S) f32
+
+    def _device_ola_impl(self, variables, track: jnp.ndarray) -> jnp.ndarray:
+        """Whole-track separation on device: frame -> lax.map over segment
+        batches -> Hann-windowed scatter-add OLA.  track: (S_bucket,) mono;
+        returns (n_stems, S_bucket)."""
+        S_bucket = track.shape[0]
+        seg, hop, bs = self.segment_samples, self.hop_samples, self.segment_batch
+        track = track.astype(jnp.float32)
+        n_seg = (S_bucket - seg) // hop + 1
+        idx = np.arange(n_seg)[:, None] * hop + np.arange(seg)[None, :]
+        segments = track[idx]                                # (n_seg, seg)
+
+        nb = -(-n_seg // bs)
+        pad = nb * bs - n_seg
+        if pad:
+            segments = jnp.pad(segments, ((0, pad), (0, 0)))
+        batches = segments.reshape(nb, bs, seg)
+        outs = jax.lax.map(
+            lambda s: self._separate_core(variables, s), batches
+        )                                                    # (nb, bs, St, seg)
+        outs = outs.reshape(nb * bs, self.n_stems, seg)[:n_seg]
+
+        window = jnp.asarray(_hann(seg))
+        weighted = (outs * window[None, None, :]).transpose(1, 0, 2)
+        acc = jnp.zeros((self.n_stems, S_bucket), jnp.float32)
+        acc = acc.at[:, idx].add(weighted)
+        norm = jnp.zeros((S_bucket,), jnp.float32).at[idx].add(
+            jnp.broadcast_to(window, (n_seg, seg))
+        )
+        out = acc / jnp.maximum(norm, 1e-8)
+        return out.astype(jnp.dtype(self.transfer_dtype))
+
+    def _separate_long_device(
+        self, audio: np.ndarray, stems: List[str]
+    ) -> Dict[str, np.ndarray]:
+        total = audio.shape[1]
+        bucket = max(self.ola_bucket_samples, self.segment_samples)
+        S_bucket = -(-total // bucket) * bucket
+        track = np.pad(audio[0], (0, S_bucket - total)).astype(self.transfer_dtype)
+        out = np.asarray(
+            self._jit_device_ola(self.variables, jnp.asarray(track))
+        ).astype(np.float32)[:, :total]
+        return {name: out[i : i + 1] for i, name in enumerate(stems)}
 
     # ---------------------------------------------------------------- api
     def separate(
@@ -133,6 +196,8 @@ class SourceSeparator:
                 self._jit_separate(self.variables, jnp.asarray(padded[None]))
             ).astype(np.float32)[0, :, :total]
             return {name: out[i : i + 1] for i, name in enumerate(stems)}
+        if self.device_ola:
+            return self._separate_long_device(audio, stems)
         return self._separate_long(audio, stems)
 
     def _separate_long(
