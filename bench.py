@@ -60,8 +60,9 @@ def main() -> None:
         + 0.1 * np.random.default_rng(0).standard_normal(n)
     ).astype(np.float32)
 
-    # warmup (compile)
-    separator.separate(audio[: int(30 * sr)])
+    # warmup (compile) — same length as the timed run: device-OLA compiles
+    # per track-length bucket
+    separator.separate(audio)
 
     t0 = time.perf_counter()
     out = separator.separate(audio)
