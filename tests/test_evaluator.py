@@ -71,6 +71,72 @@ def test_max_tracks(separator):
     assert len(results["tracks"]) == 1
 
 
+def test_save_estimates_writes_wavs(separator, tmp_path):
+    """--save_estimates writes one wav per stem per track
+    (reference: evaluator.py:241-258)."""
+    ds = SyntheticDataset(num_tracks=1, track_seconds=1.5, sample_rate=SR,
+                          seed=7)
+    ev = MUSDB18Evaluator(
+        separator, ds, output_dir=str(tmp_path), use_museval=False,
+        segment_seconds=1.0, save_estimates=True,
+    )
+    results = ev.evaluate()
+    track = next(iter(results["tracks"]))
+    est_dir = tmp_path / "estimates" / track
+    from tfswa_tpu.native import wav_info
+
+    for stem in ("vocals", "other"):
+        path = est_dir / f"{stem}.wav"
+        assert path.is_file(), path
+        frames, channels, sr = wav_info(str(path))
+        assert frames == int(1.5 * SR)
+        assert sr == SR
+
+
+def test_museval_branch_executes(separator, monkeypatch):
+    """The official-metrics branch must be live code: inject a museval module
+    with a recorded-fixture evaluate() and check the evaluator consumes it
+    (nan-median per stem, reference: evaluator.py:221-239)."""
+    import sys
+    import types
+
+    calls = {}
+
+    def fake_evaluate(refs, ests, win=None, hop=None):
+        calls["shapes"] = (refs.shape, ests.shape, win, hop)
+        S = refs.shape[0]
+        frames = 3
+        # deterministic fixture: stem i gets SDR rows [i, i+1, nan]
+        def mk(base):
+            arr = np.full((S, frames), np.nan)
+            for i in range(S):
+                arr[i, :2] = [base + i, base + i + 1]
+            return arr
+        return mk(5.0), mk(10.0), mk(15.0), mk(20.0)
+
+    fake = types.ModuleType("museval")
+    fake.evaluate = fake_evaluate
+    monkeypatch.setitem(sys.modules, "museval", fake)
+
+    ds = SyntheticDataset(num_tracks=1, track_seconds=1.5, sample_rate=SR,
+                          seed=9)
+    ev = MUSDB18Evaluator(separator, ds, use_museval=True,
+                          segment_seconds=1.0)
+    assert ev.use_museval
+    results = ev.evaluate()
+    track = next(iter(results["tracks"].values()))
+    # nan-median of [5, 6, nan] = 5.5 for stem 0
+    assert track["vocals"]["sdr"] == pytest.approx(5.5)
+    assert track["other"]["sdr"] == pytest.approx(6.5)
+    assert track["vocals"]["isr"] == pytest.approx(10.5)
+    assert track["vocals"]["sir"] == pytest.approx(15.5)
+    assert track["vocals"]["sar"] == pytest.approx(20.5)
+    refs_shape, ests_shape, win, hop = calls["shapes"]
+    assert refs_shape == ests_shape
+    assert refs_shape[0] == 2 and refs_shape[2] == 1
+    assert win == hop == SR  # segment_seconds * sample_rate
+
+
 def test_evaluator_skips_failing_tracks(separator):
     """Per-track error capture: one broken track must not kill the run
     (reference: evaluator.py:105-109)."""

@@ -80,6 +80,11 @@ class DataConfig:
     aug_prob: float = 0.5
     mixup: bool = False
     mixup_alpha: float = 0.4
+    # SpecAugment-style masking of the model-input spectrogram
+    # (reference capability: augmentation.py:148-198,227-248)
+    spec_augment: bool = False
+    aug_freq_mask_param: int = 30
+    aug_time_mask_param: int = 40
 
 
 @dataclass

@@ -216,8 +216,36 @@ class MixupAugmentation:
         return mix(mixture), {k: mix(v) for k, v in targets.items()}
 
 
+class SpectrogramAugmentation:
+    """Per-item freq/time masking of the model-input spectrogram, each with
+    probability ``prob`` (reference: augmentation.py:148-198 transforms,
+    227-248 application points — defined there but never wired; wired here
+    into the jitted train step).  Applied to the INPUT only, so it acts as
+    SpecAugment-style regularization against unmasked targets."""
+
+    def __init__(self, freq_mask_param: int = 30, time_mask_param: int = 40,
+                 prob: float = 0.5):
+        self.freq_mask_param = freq_mask_param
+        self.time_mask_param = time_mask_param
+        self.prob = prob
+
+    def __call__(self, rng: jax.Array, spec: jnp.ndarray) -> jnp.ndarray:
+        """spec (B, C, F, T) — same mask across channels, fresh per item."""
+        B = spec.shape[0]
+
+        def one(key, s):
+            k0, k1, k2, k3 = jax.random.split(key, 4)
+            masked = frequency_masking(s, k1, self.freq_mask_param)
+            s = jnp.where(jax.random.bernoulli(k0, self.prob), masked, s)
+            masked = time_masking(s, k3, self.time_mask_param)
+            return jnp.where(jax.random.bernoulli(k2, self.prob), masked, s)
+
+        return jax.vmap(one)(jax.random.split(rng, B), spec)
+
+
 def build_augmentations(cfg: DataConfig, stft: STFTProcessor):
-    """Wire augmentation from config (the wiring the reference lacks)."""
+    """Wire augmentation from config (the wiring the reference lacks).
+    Returns (waveform_bundle, mixup, spec_augment)."""
     audio_aug = (
         AudioAugmentation(
             stft,
@@ -230,4 +258,13 @@ def build_augmentations(cfg: DataConfig, stft: STFTProcessor):
         else None
     )
     mixup = MixupAugmentation(cfg.mixup_alpha) if cfg.mixup else None
-    return audio_aug, mixup
+    spec_aug = (
+        SpectrogramAugmentation(
+            freq_mask_param=cfg.aug_freq_mask_param,
+            time_mask_param=cfg.aug_time_mask_param,
+            prob=cfg.aug_prob,
+        )
+        if cfg.spec_augment
+        else None
+    )
+    return audio_aug, mixup, spec_aug

@@ -18,12 +18,19 @@ import numpy as np
 from .inference import SourceSeparator
 from .metrics import MetricsCalculator
 
-try:
-    import museval  # type: ignore
+def _museval_available() -> bool:
+    """Checked at evaluator construction (not import) so environments that
+    install/inject museval later — including the fixture test — get the
+    official-metrics branch."""
+    try:
+        import museval  # noqa: F401
 
-    HAS_MUSEVAL = True
-except Exception:  # pragma: no cover - optional dep
-    HAS_MUSEVAL = False
+        return True
+    except Exception:  # pragma: no cover - optional dep
+        return False
+
+
+HAS_MUSEVAL = _museval_available()
 
 
 def _nanmedian(x) -> float:
@@ -54,7 +61,7 @@ class MUSDB18Evaluator:
         self.separator = separator
         self.dataset = dataset
         self.output_dir = output_dir
-        self.use_museval = use_museval and HAS_MUSEVAL
+        self.use_museval = use_museval and _museval_available()
         self.segment_seconds = segment_seconds
         self.save_estimates = save_estimates
         self.max_tracks = max_tracks
@@ -65,12 +72,37 @@ class MUSDB18Evaluator:
         mixture, references = self.dataset.get_full_track(track_idx)
         estimates = self.separator.separate(mixture)
 
+        if self.save_estimates and self.output_dir:
+            self._save_estimates(
+                self.dataset.track_names[track_idx], estimates
+            )
+
         refs_mono = {k: np.asarray(v).mean(axis=0) for k, v in references.items()}
         ests_mono = {k: np.asarray(v)[0] for k, v in estimates.items()}
 
         if self.use_museval:
             return self._museval_metrics(refs_mono, ests_mono)
         return self._custom_metrics(refs_mono, ests_mono)
+
+    def _save_estimates(self, track_name: str, estimates: Dict) -> None:
+        """Write per-stem estimate wavs (reference: evaluator.py:241-258),
+        via the native C++ writer with a soundfile fallback."""
+        track_dir = os.path.join(
+            self.output_dir, "estimates", track_name.replace(os.sep, "_")
+        )
+        os.makedirs(track_dir, exist_ok=True)
+        sr = self.separator.sample_rate
+        for stem, wav in estimates.items():
+            path = os.path.join(track_dir, f"{stem}.wav")
+            data = np.asarray(wav, dtype=np.float32)
+            try:
+                from ..native import wav_write
+
+                wav_write(path, data, sr)
+            except Exception:
+                import soundfile as sf
+
+                sf.write(path, data.T, sr)
 
     def _custom_metrics(self, refs, ests) -> Dict[str, Dict[str, float]]:
         sr = self.separator.sample_rate
@@ -88,6 +120,8 @@ class MUSDB18Evaluator:
     def _museval_metrics(self, refs, ests) -> Dict[str, Dict[str, float]]:
         """Official museval metrics, nan-median over frames
         (reference: evaluator.py:221-239)."""
+        import museval
+
         stems = [s for s in ests if s in refs]
         ref_arr = np.stack([refs[s] for s in stems])[..., None]   # (S, T, 1)
         est_arr = np.stack([ests[s] for s in stems])[..., None]

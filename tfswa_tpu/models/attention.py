@@ -79,6 +79,13 @@ def scaled_dot_product_attention(
     return output, weights
 
 
+def _dropout(x: jnp.ndarray, rate: float, rng) -> jnp.ndarray:
+    """Inverted dropout, torch nn.Dropout semantics (scale by 1/(1-p))."""
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(rng, keep, x.shape)
+    return jnp.where(mask, x / keep, 0).astype(x.dtype)
+
+
 def mha_rows(
     rows: jnp.ndarray,
     qkv_kernel: jnp.ndarray,
@@ -86,10 +93,13 @@ def mha_rows(
     proj_bias: jnp.ndarray,
     num_heads: int,
     mask: Optional[jnp.ndarray] = None,
+    dropout_rate: float = 0.0,
+    dropout_rng=None,
 ) -> jnp.ndarray:
     """Multi-head self-attention over rows (R, N, C) -> (R, N, C)
     (reference: attention.py:34-90).  mask, if given, is additive
-    (R or 1, 1, N, N) applied to pre-softmax scores."""
+    (R or 1, 1, N, N) applied to pre-softmax scores.  dropout, when active,
+    is applied to the post-softmax weights (reference: attention.py:81)."""
     R, N, C = rows.shape
     H = num_heads
     D = C // H
@@ -106,6 +116,8 @@ def mha_rows(
     if mask is not None:
         scores = scores + mask
     weights = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(dtype)
+    if dropout_rate > 0.0 and dropout_rng is not None:
+        weights = _dropout(weights, dropout_rate, dropout_rng)
     out = jnp.einsum("rhnm,rhmd->rhnd", weights, v)
     out = out.transpose(0, 2, 1, 3).reshape(R, N, C)
     out = jnp.einsum("rnc,ck->rnk", out, proj_kernel.astype(dtype))
@@ -120,15 +132,30 @@ def row_transformer_block(
     chunk_size: Optional[int] = None,
     attention_impl: str = "xla",
     mask: Optional[jnp.ndarray] = None,
+    dropout_rate: float = 0.0,
+    dropout_rng=None,
 ) -> jnp.ndarray:
     """Pre-LN transformer block on rows (R, N, C):
         rows + MHA(LN(rows));  then  + MLP(LN(.))
     (reference: attention.py:130-164 TSA forward, identical math for FSA/SWA).
+
+    Active dropout (rate > 0 with an rng) follows the reference's three
+    sites — post-softmax attention weights, MLP-after-GELU, MLP-after-fc2
+    (reference: attention.py:81,125-127) — and forces the XLA path.
     """
     dtype = rows.dtype
+    use_dropout = dropout_rate > 0.0 and dropout_rng is not None
+
+    if attention_impl == "pallas" and mask is None and not use_dropout:
+        # Whole block in one fused Pallas kernel: LN1 -> attention ->
+        # +residual -> LN2 -> MLP -> +residual, no HBM round trips between.
+        from ..ops.pallas.fused_block import fused_row_block
+
+        return fused_row_block(rows, p, num_heads)
+
     normed = _layer_norm(rows, p.norm1_scale, p.norm1_bias)
 
-    if attention_impl == "pallas" and mask is None:
+    if attention_impl == "pallas_attn" and mask is None and not use_dropout:
         from ..ops.pallas.row_attention import flash_row_attention
 
         attn = flash_row_attention(
@@ -145,25 +172,48 @@ def row_transformer_block(
         pad = (-R) % chunk_size
         padded = jnp.pad(normed, ((0, pad), (0, 0), (0, 0)))
         chunks = padded.reshape(-1, chunk_size, *padded.shape[1:])
-        attn = jax.lax.map(
-            jax.checkpoint(
-                lambda c: mha_rows(c, p.qkv_kernel, p.proj_kernel, p.proj_bias,
-                                   num_heads)
-            ),
-            chunks,
-        )
+        if use_dropout:
+            attn_rng, dropout_rng = jax.random.split(dropout_rng)
+            keys = jax.random.split(attn_rng, chunks.shape[0])
+            attn = jax.lax.map(
+                jax.checkpoint(
+                    lambda ck: mha_rows(
+                        ck[0], p.qkv_kernel, p.proj_kernel, p.proj_bias,
+                        num_heads, dropout_rate=dropout_rate,
+                        dropout_rng=ck[1],
+                    )
+                ),
+                (chunks, keys),
+            )
+        else:
+            attn = jax.lax.map(
+                jax.checkpoint(
+                    lambda c: mha_rows(c, p.qkv_kernel, p.proj_kernel,
+                                       p.proj_bias, num_heads)
+                ),
+                chunks,
+            )
         attn = attn.reshape(-1, *padded.shape[1:])[:R]
     else:
+        if use_dropout:
+            attn_rng, dropout_rng = jax.random.split(dropout_rng)
         attn = mha_rows(
             normed, p.qkv_kernel, p.proj_kernel, p.proj_bias, num_heads,
             mask=mask,
+            dropout_rate=dropout_rate if use_dropout else 0.0,
+            dropout_rng=attn_rng if use_dropout else None,
         )
 
     rows = rows + attn
     h = _layer_norm(rows, p.norm2_scale, p.norm2_bias)
     h = jnp.einsum("rnc,ck->rnk", h, p.fc1_kernel.astype(dtype)) + p.fc1_bias.astype(dtype)
     h = gelu(h)
+    if use_dropout:
+        k1, k2 = jax.random.split(dropout_rng)
+        h = _dropout(h, dropout_rate, k1)
     h = jnp.einsum("rnk,kc->rnc", h, p.fc2_kernel.astype(dtype)) + p.fc2_bias.astype(dtype)
+    if use_dropout:
+        h = _dropout(h, dropout_rate, k2)
     return rows + h
 
 
@@ -198,9 +248,13 @@ class MultiHeadAttention(nn.Module):
                 add_mask = jnp.where(mask, 0.0, -jnp.inf).astype(jnp.float32)
             else:
                 add_mask = mask.astype(jnp.float32)
+        rng = None
+        if self.dropout > 0.0 and not deterministic:
+            rng = self.make_rng("dropout")
         return mha_rows(
             x.astype(self.dtype), qkv_kernel, proj_kernel, proj_bias,
             self.num_heads, mask=add_mask,
+            dropout_rate=self.dropout, dropout_rng=rng,
         )
 
 
@@ -251,11 +305,15 @@ class TemporalSequenceAttention(nn.Module, _RowBlockMixin):
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         B, H, W, C = x.shape
         p = self._row_block_params(self.dim, self.mlp_ratio)
+        rng = None
+        if self.dropout > 0.0 and not deterministic:
+            rng = self.make_rng("dropout")
         rows = x.transpose(0, 2, 1, 3).reshape(B * W, H, C)
         rows = row_transformer_block(
             rows, p, self.num_heads,
             chunk_size=self.attn_chunk_size,
             attention_impl=self.attention_impl,
+            dropout_rate=self.dropout, dropout_rng=rng,
         )
         return rows.reshape(B, W, H, C).transpose(0, 2, 1, 3)
 
@@ -277,11 +335,15 @@ class FrequencySequenceAttention(nn.Module, _RowBlockMixin):
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         B, H, W, C = x.shape
         p = self._row_block_params(self.dim, self.mlp_ratio)
+        rng = None
+        if self.dropout > 0.0 and not deterministic:
+            rng = self.make_rng("dropout")
         rows = x.reshape(B * H, W, C)
         rows = row_transformer_block(
             rows, p, self.num_heads,
             chunk_size=self.attn_chunk_size,
             attention_impl=self.attention_impl,
+            dropout_rate=self.dropout, dropout_rng=rng,
         )
         return rows.reshape(B, H, W, C)
 
@@ -337,9 +399,13 @@ class ShiftedWindowAttention(nn.Module, _RowBlockMixin):
         N = ws * ws
         swa_chunk = max(16, (32 * 1024 * 1024) // (self.num_heads * N * N * 4))
 
+        rng = None
+        if self.dropout > 0.0 and not deterministic:
+            rng = self.make_rng("dropout")
         windows = row_transformer_block(
             windows, p, self.num_heads, chunk_size=swa_chunk,
             attention_impl=self.attention_impl, mask=mask,
+            dropout_rate=self.dropout, dropout_rng=rng,
         )
 
         x = window_reverse(windows, ws, B, Hp, Wp)

@@ -68,19 +68,20 @@ class TFSWABlock(nn.Module):
             attention_impl=self.attention_impl,
             **kw,
         )
+        det = not train
         tsa_out = TemporalSequenceAttention(
             attn_chunk_size=self.attn_chunk_size, name="tsa", **attn_kw
-        )(h)
+        )(h, deterministic=det)
         fsa_out = FrequencySequenceAttention(
             attn_chunk_size=self.attn_chunk_size, name="fsa", **attn_kw
-        )(h)
+        )(h, deterministic=det)
         swa_out = ShiftedWindowAttention(
             window_size=self.window_size,
             shift_size=self.shift_size,
             use_shift_mask=self.use_shift_mask,
             name="swa",
             **attn_kw,
-        )(h)
+        )(h, deterministic=det)
 
         combined = jnp.concatenate([tsa_out, fsa_out, swa_out], axis=-1)
 

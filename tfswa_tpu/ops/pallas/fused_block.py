@@ -1,0 +1,292 @@
+"""Fully-fused row-transformer-block Pallas kernel.
+
+One grid cell computes the ENTIRE pre-LN transformer block for a block of
+independent rows (reference: attention.py:93-164 — LN1 -> MHA -> +residual ->
+LN2 -> MLP -> +residual), instead of round-tripping activations through HBM
+between LN / attention / MLP as separate XLA ops.  At stage-1 shapes each
+(B, 1025, 862, 32) activation tensor is ~57 MB/bf16-batch-item, so every
+fused boundary removes two HBM passes plus XLA dispatch.
+
+Attention core is the bilinear per-head form of row_attention.py
+(scores_h = x A_h x^T with A_h = Wq_h Wk_h^T / sqrt(D)) with two changes:
+  - softmax is computed as exp(s - max) with the 1/sum normalisation folded
+    into a rank-1 scale AFTER the AV matmul (flash-style): N multiplies per
+    row instead of N^2, and the unnormalised probs (<= 1, no overflow) feed
+    the MXU directly in compute dtype;
+  - the LN1 result never leaves VMEM, so the attention input load is free.
+
+Backward: custom VJP that rematerialises through the chunked XLA path
+(tfswa_tpu/models/attention.py mha_rows) — values are identical by the
+equivalence tests in tests/test_pallas.py.  A fused Pallas backward lives in
+fused_block_bwd.py and is used when enabled.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_VMEM_BUDGET = 11 * 1024 * 1024
+
+
+def _align128(n: int) -> int:
+    return ((n + 127) // 128) * 128
+
+
+def _row_block(N: int, C: int, mlp_hidden: int, dtype,
+               unroll: int = 1) -> int:
+    """Rows per grid cell.  The head loop keeps ~2*unroll live (N, N) f32
+    planes (scores + probs per unrolled head); everything else is O(N*C).
+    Rb > 1 additionally requires N sublane-aligned (Mosaic merges (Rb, N)
+    when lowering the batched dots)."""
+    sublane = 16 if dtype == jnp.bfloat16 else 8
+    per_row = (
+        2 * unroll * N * _align128(N) * 4
+        + 14 * N * _align128(C) * 4
+        + 2 * N * _align128(mlp_hidden) * 4
+    )
+    cap = _VMEM_BUDGET // max(per_row, 1)
+    if N % sublane != 0:
+        return 1
+    return max(1, min(32, cap))
+
+
+def _pick_unroll(N: int, C: int, mlp_hidden: int, num_heads: int,
+                 dtype) -> int:
+    """Unroll 2 heads when two score/prob plane pairs fit the VMEM budget."""
+    if num_heads % 2 != 0:
+        return 1
+    per_unroll2 = (
+        4 * N * _align128(N) * 4
+        + 14 * N * _align128(C) * 4
+        + 2 * N * _align128(mlp_hidden) * 4
+    )
+    return 2 if per_unroll2 <= _VMEM_BUDGET else 1
+
+
+def _erf(x):
+    """Abramowitz & Stegun 7.1.26 rational erf (max abs err 1.5e-7): Mosaic
+    lowers neither erf nor erfc, and 1.5e-7 is far below bf16 resolution."""
+    a1, a2, a3, a4, a5 = (
+        0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429)
+    s = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t
+    return s * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _fused_block_kernel(
+    x_ref, ln1s_ref, ln1b_ref, a_ref, wv_ref, wo_ref, ob_ref,
+    ln2s_ref, ln2b_ref, fc1_ref, f1b_ref, fc2_ref, f2b_ref,
+    out_ref, *, num_heads: int, unroll: int = 1,
+):
+    Rb, N, C = x_ref.shape
+    H = num_heads
+    D = C // H
+    cd = x_ref.dtype
+
+    xf = x_ref[:].astype(jnp.float32)                       # (Rb, N, C)
+
+    # --- LN1 (f32 statistics, matching models/attention._layer_norm) ---
+    mean1 = jnp.mean(xf, axis=-1, keepdims=True)
+    var1 = jnp.var(xf, axis=-1, keepdims=True)
+    n1 = (xf - mean1) * jax.lax.rsqrt(var1 + 1e-5)
+    n1 = n1 * ln1s_ref[:].astype(jnp.float32) + ln1b_ref[:].astype(jnp.float32)
+    normed = n1.astype(cd)
+
+    # --- attention: bilinear per-head flash, scores never leave VMEM ---
+    v = jax.lax.dot_general(
+        normed, wv_ref[:], (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(cd)                                            # (Rb, N, C)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, C), 2)
+
+    def one_head(h, acc):
+        t = jax.lax.dot_general(
+            normed, a_ref[h], (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(cd)                                        # (Rb, N, C)
+        scores = jax.lax.dot_general(
+            t, normed, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )                                                   # (Rb, N, N) f32
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        p = jnp.exp(scores - m)                             # <= 1, safe in cd
+        denom = jnp.sum(p, axis=-1, keepdims=True)          # (Rb, N, 1) f32
+        v_h = jnp.where(lane // D == h, v, 0).astype(cd)
+        o = jax.lax.dot_general(
+            p.astype(cd), v_h, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )                                                   # (Rb, N, C) f32
+        # fold softmax normalisation into a rank-1 post-scale (flash trick)
+        return acc + o * pl.reciprocal(denom, approx=False)
+
+    def head_body(i, acc):
+        # unroll > 1 exposes independent heads so Mosaic can overlap one
+        # head's VPU softmax with the next head's MXU score matmul — the two
+        # are near-equal per-row costs at stage-1 shapes.
+        for j in range(unroll):
+            acc = one_head(i * unroll + j, acc)
+        return acc
+
+    acc = jax.lax.fori_loop(
+        0, H // unroll, head_body, jnp.zeros((Rb, N, C), jnp.float32)
+    )
+    attn = jax.lax.dot_general(
+        acc.astype(cd), wo_ref[:], (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + ob_ref[:].astype(jnp.float32)
+
+    y = xf + attn                                           # residual 1 (f32)
+
+    # --- LN2 + MLP ---
+    mean2 = jnp.mean(y, axis=-1, keepdims=True)
+    var2 = jnp.var(y, axis=-1, keepdims=True)
+    n2 = (y - mean2) * jax.lax.rsqrt(var2 + 1e-5)
+    n2 = n2 * ln2s_ref[:].astype(jnp.float32) + ln2b_ref[:].astype(jnp.float32)
+    h1 = jax.lax.dot_general(
+        n2.astype(cd), fc1_ref[:], (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + f1b_ref[:].astype(jnp.float32)
+    # torch-exact erf GELU via rational erf (erf/erfc unlowered in Mosaic)
+    h1 = (0.5 * h1 * (1.0 + _erf(h1 * (2.0 ** -0.5)))).astype(cd)
+    h2 = jax.lax.dot_general(
+        h1, fc2_ref[:], (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + f2b_ref[:].astype(jnp.float32)
+
+    out_ref[:] = (y + h2).astype(out_ref.dtype)
+
+
+def _bilinear_weights(qkv_kernel, num_heads: int):
+    """A (H, C, C) with A_h = Wq_h Wk_h^T / sqrt(D), plus Wv (C, C)."""
+    C = qkv_kernel.shape[0]
+    H = num_heads
+    D = C // H
+    wq = qkv_kernel[:, :C].astype(jnp.float32)
+    wk = qkv_kernel[:, C: 2 * C].astype(jnp.float32)
+    wv = qkv_kernel[:, 2 * C:]
+    wq_h = wq.reshape(C, H, D).transpose(1, 0, 2)           # (H, C, D)
+    wk_h = wk.reshape(C, H, D).transpose(1, 0, 2)
+    a = jnp.einsum("hcd,hed->hce", wq_h, wk_h) * (D ** -0.5)
+    return a, wv
+
+
+def _fused_block_impl(rows, p, num_heads: int):
+    """rows (R, N, C), p: RowBlockParams-like namedtuple of arrays."""
+    R, N, C = rows.shape
+    dtype = rows.dtype
+    hidden = p.fc1_kernel.shape[1]
+    unroll = _pick_unroll(N, C, hidden, num_heads, dtype)
+    Rb = _row_block(N, C, hidden, dtype, unroll)
+    pad = (-R) % Rb
+    padded = jnp.pad(rows, ((0, pad), (0, 0), (0, 0))) if pad else rows
+    Rp = R + pad
+
+    a, wv = _bilinear_weights(p.qkv_kernel, num_heads)
+    H = num_heads
+
+    def bcast(shape):
+        nd = len(shape)
+        return pl.BlockSpec(shape, lambda i: (0,) * nd, memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(_fused_block_kernel, num_heads=num_heads,
+                               unroll=unroll)
+    out = pl.pallas_call(
+        kernel,
+        grid=(Rp // Rb,),
+        in_specs=[
+            pl.BlockSpec((Rb, N, C), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            bcast((C,)), bcast((C,)),
+            bcast((H, C, C)),
+            bcast((C, C)), bcast((C, C)), bcast((C,)),
+            bcast((C,)), bcast((C,)),
+            bcast((C, hidden)), bcast((hidden,)),
+            bcast((hidden, C)), bcast((C,)),
+        ],
+        out_specs=pl.BlockSpec((Rb, N, C), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Rp, N, C), dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Rp * N * (num_heads * (C * C + 2 * N * C)
+                                + 2 * C * C + 2 * C * hidden),
+            bytes_accessed=Rp * N * C * 2 * 2,
+            transcendentals=Rp * num_heads * N * N,
+        ),
+    )(
+        padded,
+        p.norm1_scale.astype(dtype), p.norm1_bias.astype(dtype),
+        a.astype(dtype),
+        wv.astype(dtype), p.proj_kernel.astype(dtype),
+        p.proj_bias.astype(dtype),
+        p.norm2_scale.astype(dtype), p.norm2_bias.astype(dtype),
+        p.fc1_kernel.astype(dtype), p.fc1_bias.astype(dtype),
+        p.fc2_kernel.astype(dtype), p.fc2_bias.astype(dtype),
+    )
+    return out[:R] if pad else out
+
+
+def _xla_block(rows, p, num_heads: int, chunk: int = 16):
+    """Chunked-XLA computation of the same block (used for backward remat).
+
+    Matches models/attention.row_transformer_block's XLA branch exactly.
+    """
+    from ...models.attention import _layer_norm, mha_rows
+    from ...models.layers import gelu
+
+    dtype = rows.dtype
+    normed = _layer_norm(rows, p.norm1_scale, p.norm1_bias)
+    R = rows.shape[0]
+    if R <= chunk:
+        attn = mha_rows(normed, p.qkv_kernel, p.proj_kernel, p.proj_bias,
+                        num_heads)
+    else:
+        pad = (-R) % chunk
+        padded = jnp.pad(normed, ((0, pad), (0, 0), (0, 0)))
+        chunks = padded.reshape(-1, chunk, *padded.shape[1:])
+        attn = jax.lax.map(
+            jax.checkpoint(
+                lambda c: mha_rows(c, p.qkv_kernel, p.proj_kernel,
+                                   p.proj_bias, num_heads)
+            ),
+            chunks,
+        )
+        attn = attn.reshape(-1, *padded.shape[1:])[:R]
+    rows = rows + attn
+    h = _layer_norm(rows, p.norm2_scale, p.norm2_bias)
+    h = jnp.einsum("rnc,ck->rnk", h, p.fc1_kernel.astype(dtype)) \
+        + p.fc1_bias.astype(dtype)
+    h = gelu(h)
+    h = jnp.einsum("rnk,kc->rnc", h, p.fc2_kernel.astype(dtype)) \
+        + p.fc2_bias.astype(dtype)
+    return rows + h
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def fused_row_block(rows, p, num_heads):
+    """Full pre-LN transformer block over independent rows (R, N, C).
+
+    rows + MHA(LN1(rows)); then + MLP(LN2(.)) — one fused Pallas kernel
+    (reference behaviour: attention.py:130-164).  p is a RowBlockParams.
+    """
+    return _fused_block_impl(rows, p, num_heads)
+
+
+def _fwd(rows, p, num_heads):
+    out = _fused_block_impl(rows, p, num_heads)
+    return out, (rows, p)
+
+
+def _bwd(num_heads, residuals, g):
+    rows, p = residuals
+    _, vjp = jax.vjp(lambda r, pp: _xla_block(r, pp, num_heads), rows, p)
+    return vjp(g)
+
+
+fused_row_block.defvjp(_fwd, _bwd)

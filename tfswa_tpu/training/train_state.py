@@ -109,6 +109,8 @@ def make_train_step(
     l1_weight: float = 1.0,
     mrstft_weight: float = 0.5,
     use_mrstft: bool = False,
+    spec_augment=None,
+    rng_seed: int = 0,
 ) -> Callable:
     """Build the jitted train step.
 
@@ -116,10 +118,16 @@ def make_train_step(
     stereo STFT -> mono complex mean -> magnitude; model on stereo [re, im];
     per-stem sigmoid(|re,im|) masks on mono magnitude; L1 vs mono target
     magnitudes; clip + AdamW + per-step schedule.
+
+    Per-step randomness (dropout, spec-augment) is derived from state.step
+    via fold_in — deterministic, resume-stable, and no extra step argument.
     """
     n_stems = len(stems)
+    use_dropout = getattr(model, "dropout", 0.0) > 0.0
 
     def train_step(state: TrainState, mixtures: jnp.ndarray, targets: Dict[str, jnp.ndarray]):
+        step_rng = jax.random.fold_in(jax.random.PRNGKey(rng_seed), state.step)
+        spec_key, dropout_key = jax.random.split(step_rng)
         # STFT outside the grad closure: no gradient flows through analysis
         mixture_spec = stft_processor.stft(mixtures)           # (B, 2, F, T) c64
         mono = jnp.mean(mixture_spec, axis=1)
@@ -130,11 +138,15 @@ def make_train_step(
             for k, v in targets.items()
         }
         model_input = stft_processor.to_model_input(mixture_spec)
+        if spec_augment is not None:
+            # masks the model INPUT only; targets stay clean
+            model_input = spec_augment(spec_key, model_input)
 
         def loss_fn(params):
             out, updates = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 model_input, train=True, mutable=["batch_stats"],
+                rngs={"dropout": dropout_key} if use_dropout else None,
             )
             pred = apply_trainer_masks(out, mixture_mag, n_stems)
             pred_mags = {k: pred[:, i] for i, k in enumerate(stems)}
