@@ -104,7 +104,11 @@ def _fused_block_kernel(
         normed, wv_ref[:], (((2,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).astype(cd)                                            # (Rb, N, C)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, C), 2)
+    # Extended values [v | 1]: lane C carries a ones column so the softmax
+    # denominator falls out of the AV matmul (the MXU output pads 33 -> 128
+    # lanes anyway), replacing a full (N, N) VPU sum pass per head.
+    ve = jnp.concatenate([v, jnp.ones((Rb, N, 1), cd)], axis=2)
+    lane_e = jax.lax.broadcasted_iota(jnp.int32, (1, 1, C + 1), 2)
 
     def one_head(h, acc):
         t = jax.lax.dot_general(
@@ -117,14 +121,15 @@ def _fused_block_kernel(
         )                                                   # (Rb, N, N) f32
         m = jnp.max(scores, axis=-1, keepdims=True)
         p = jnp.exp(scores - m)                             # <= 1, safe in cd
-        denom = jnp.sum(p, axis=-1, keepdims=True)          # (Rb, N, 1) f32
-        v_h = jnp.where(lane // D == h, v, 0).astype(cd)
-        o = jax.lax.dot_general(
-            p.astype(cd), v_h, (((2,), (1,)), ((0,), (0,))),
+        v_he = jnp.where((lane_e // D == h) | (lane_e == C), ve, 0).astype(cd)
+        oe = jax.lax.dot_general(
+            p.astype(cd), v_he, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        )                                                   # (Rb, N, C) f32
-        # fold softmax normalisation into a rank-1 post-scale (flash trick)
-        return acc + o * pl.reciprocal(denom, approx=False)
+        )                                                   # (Rb, N, C+1) f32
+        # fold softmax normalisation into a rank-1 post-scale (flash trick);
+        # oe[..., C] = sum_j p_ij (f32 MXU accumulation of the ones column)
+        denom = oe[:, :, C:C + 1]
+        return acc + oe[:, :, :C] * pl.reciprocal(denom, approx=False)
 
     def head_body(i, acc):
         # unroll > 1 exposes independent heads so Mosaic can overlap one
