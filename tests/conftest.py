@@ -22,6 +22,15 @@ jax.config.update("jax_platforms", "cpu")
 import pytest  # noqa: E402
 
 
+def pytest_collection_modifyitems(config, items):
+    """Every test not marked ``slow`` belongs to the quick tier, so
+    ``pytest -m quick`` is the fast pre-commit gate and ``pytest`` (or
+    ``-m slow``) runs the heavy remainder in CI cadence."""
+    for item in items:
+        if "slow" not in item.keywords:
+            item.add_marker(pytest.mark.quick)
+
+
 @pytest.fixture(scope="session")
 def devices():
     return jax.devices()

@@ -1,6 +1,10 @@
 """CLI argument -> Config wiring (reference: scripts/train.py:23-121)."""
 from tfswa_tpu.cli.train import build_parser, config_from_args
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy tier: run via plain pytest / -m slow
+
 
 def test_defaults():
     args = build_parser().parse_args(["--synthetic"])

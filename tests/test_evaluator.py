@@ -7,6 +7,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy tier: full-model forwards on CPU
+
 import jax
 import jax.numpy as jnp
 

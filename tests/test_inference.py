@@ -12,6 +12,8 @@ from tfswa_tpu.evaluation.inference import BatchSeparator, SourceSeparator
 from tfswa_tpu.models import TFSWAUNet
 from tfswa_tpu.ops.stft import STFTProcessor
 
+pytestmark = pytest.mark.slow  # heavy tier: run via plain pytest / -m slow
+
 SR = 8000
 
 

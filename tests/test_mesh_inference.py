@@ -1,0 +1,66 @@
+"""Multi-chip inference sharding: mesh-sharded separation == single-device.
+
+The reference is single-GPU only (reference: inference.py:29); sharding the
+segment batch over the 'data' mesh axis is new TPU-native capability.  On the
+8-virtual-device CPU mesh the sharded SourceSeparator must produce the same
+stems as the unsharded one (identical compiled math, GSPMD only partitions
+the batch dim).
+"""
+import jax
+import numpy as np
+import pytest
+
+from tfswa_tpu.config import STFTConfig
+from tfswa_tpu.evaluation import SourceSeparator
+from tfswa_tpu.models import TFSWAUNet
+from tfswa_tpu.ops.stft import STFTProcessor
+from tfswa_tpu.parallel.mesh import create_mesh
+
+pytestmark = pytest.mark.slow  # heavy tier: full separators on the CPU mesh
+
+SR = 8000
+
+
+def _make_separator(mesh=None, **kw):
+    model = TFSWAUNet(
+        in_channels=4, out_channels=4, depths=(1, 1, 1, 1),
+        dims=(8, 16, 32, 64), window_size=4, shift_size=2, num_heads=2,
+    )
+    variables = model.init(
+        jax.random.PRNGKey(0), np.zeros((1, 4, 129, 20), np.float32)
+    )
+    proc = STFTProcessor(STFTConfig(n_fft=256, hop_length=64, sample_rate=SR))
+    return SourceSeparator(
+        model, variables, proc, segment_length=1.0, mesh=mesh, **kw
+    )
+
+
+def test_mesh_separation_matches_single_device():
+    rng = np.random.default_rng(0)
+    track = rng.standard_normal(int(SR * 3.4)).astype(np.float32)
+
+    ref = _make_separator(mesh=None, segment_batch=8).separate(track)
+    mesh = create_mesh(shape=(len(jax.devices()), 1))
+    got = _make_separator(mesh=mesh, segment_batch=8).separate(track)
+
+    assert set(got) == set(ref)
+    for name in ref:
+        np.testing.assert_allclose(got[name], ref[name], atol=1e-5)
+
+
+def test_mesh_rounds_segment_batch_and_short_track():
+    mesh = create_mesh(shape=(len(jax.devices()), 1))
+    sep = _make_separator(mesh=mesh, segment_batch=3)
+    assert sep.segment_batch % len(jax.devices()) == 0
+
+    ref = _make_separator(mesh=None, segment_batch=3)
+    short = np.random.default_rng(1).standard_normal(SR // 2).astype(np.float32)
+    got, want = sep.separate(short), ref.separate(short)
+    for name in want:
+        np.testing.assert_allclose(got[name], want[name], atol=1e-5)
+
+
+def test_mesh_rejects_device_ola():
+    mesh = create_mesh(shape=(len(jax.devices()), 1))
+    with pytest.raises(ValueError):
+        _make_separator(mesh=mesh, device_ola=True)

@@ -5,6 +5,8 @@ gradient flow; plus TPU-specific invariants the reference lacks.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy tier: full-model forwards on CPU
+
 import jax
 import jax.numpy as jnp
 

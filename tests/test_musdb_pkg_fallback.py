@@ -8,6 +8,8 @@ import types
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy tier: run via plain pytest / -m slow
+
 SR = 8000
 TRACK_SECONDS = 2.0
 

@@ -1,6 +1,7 @@
 """Spectrogram augmentation wiring (reference capability:
 augmentation.py:148-198,227-248 — defined there, wired here)."""
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -51,6 +52,7 @@ def test_build_augmentations_spec_flag():
     assert none_aug is None
 
 
+@pytest.mark.slow  # full train step on CPU (~8 min on this box)
 def test_train_step_spec_augment_changes_loss():
     """The wired spec-augment must change the training loss (input masked,
     targets clean) while leaving the no-augment step untouched."""

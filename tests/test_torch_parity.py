@@ -15,6 +15,8 @@ import pytest
 jax = pytest.importorskip("jax")
 import jax.numpy as jnp  # noqa: E402
 
+pytestmark = pytest.mark.slow  # heavy tier: run via plain pytest / -m slow
+
 REFERENCE = "/root/reference"
 HAS_REF = os.path.isdir(os.path.join(REFERENCE, "src", "models"))
 

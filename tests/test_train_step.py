@@ -19,6 +19,8 @@ from tfswa_tpu.training import (
     make_train_step,
 )
 
+pytestmark = pytest.mark.slow  # heavy tier: run via plain pytest / -m slow
+
 STEMS = ("vocals", "other")
 
 

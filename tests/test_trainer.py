@@ -19,6 +19,8 @@ from tfswa_tpu.config import (
 from tfswa_tpu.data.synthetic import SyntheticDataset
 from tfswa_tpu.training.trainer import Trainer
 
+pytestmark = pytest.mark.slow  # heavy tier: run via plain pytest / -m slow
+
 SR = 8000
 
 

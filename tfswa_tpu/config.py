@@ -32,7 +32,7 @@ class ModelConfig:
     dropout: float = 0.0
     mlp_ratio: float = 4.0
     # TPU-specific knobs (no reference equivalent):
-    attention_impl: str = "xla"   # "xla" (chunked einsum) | "pallas" (flash kernels)
+    attention_impl: str = "xla"   # "xla" (chunked einsum) | "pallas" (flash kernels) | "int8" (quantized serving)
     attn_chunk_size: int = 16     # row-chunk for the XLA path (reference: attention.py:109)
     remat: bool = False           # jax.checkpoint each TFSWABlock (replaces
                                   # reference: gradient_checkpoint.py:18-73 monkey-patching)

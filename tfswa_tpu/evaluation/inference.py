@@ -59,6 +59,7 @@ class SourceSeparator:
         transfer_dtype: str = "float32",
         device_ola: bool = False,
         ola_bucket_seconds: float = 30.0,
+        mesh=None,
     ):
         self.model = model
         self.variables = variables
@@ -93,7 +94,40 @@ class SourceSeparator:
         #   in_channels==4 -> mono duplicated to stereo (reference: trainer.py:393-394)
         self.model_audio_channels = model.in_channels // 2
 
-        self._jit_separate = jax.jit(self._separate_batch_impl)
+        # Multi-chip separation: with a jax.sharding.Mesh, the segment batch
+        # is sharded over the 'data' axis (each chip runs segment_batch/d
+        # segments of the same compiled forward; GSPMD inserts nothing on the
+        # forward — it is embarrassingly parallel) and the variables follow
+        # the parallel/sharding.py rules ('model' axis > 1 adds Megatron TP).
+        # The reference is single-GPU only (reference: inference.py:29).
+        self.mesh = mesh
+        if mesh is not None:
+            from ..parallel.sharding import (
+                batch_sharding,
+                shard_variables,
+                variables_shardings,
+            )
+
+            d = mesh.shape.get("data", 1)
+            # round the batch up so every chip gets equal work
+            self.segment_batch = -(-segment_batch // d) * d
+            self.variables = shard_variables(self.variables, mesh)
+            self._batch_sharding = batch_sharding(mesh)
+            self._jit_separate = jax.jit(
+                self._separate_batch_impl,
+                in_shardings=(
+                    variables_shardings(self.variables, mesh),
+                    self._batch_sharding,
+                ),
+                out_shardings=self._batch_sharding,
+            )
+            if device_ola:
+                raise ValueError(
+                    "device_ola is single-device; use the host-OLA path "
+                    "(device_ola=False) with a mesh"
+                )
+        else:
+            self._jit_separate = jax.jit(self._separate_batch_impl)
         self._jit_device_ola = jax.jit(self._device_ola_impl)
 
     # --------------------------------------------------------------- core
@@ -192,8 +226,13 @@ class SourceSeparator:
 
         if total <= seg:
             padded = np.pad(audio[0], (0, seg - total)).astype(self.transfer_dtype)
+            block = padded[None]
+            if self.mesh is not None:
+                # batch dim must tile evenly over the 'data' axis
+                d = self.mesh.shape.get("data", 1)
+                block = np.pad(block, ((0, d - 1), (0, 0)))
             out = np.asarray(
-                self._jit_separate(self.variables, jnp.asarray(padded[None]))
+                self._jit_separate(self.variables, jnp.asarray(block))
             ).astype(np.float32)[0, :, :total]
             return {name: out[i : i + 1] for i, name in enumerate(stems)}
         if self.device_ola:

@@ -261,6 +261,34 @@ class MultiHeadAttention(nn.Module):
 class _RowBlockMixin:
     """Declares the flat row-block params on a linen module."""
 
+    def _int8_block(self, rows: jnp.ndarray, p: RowBlockParams) -> jnp.ndarray:
+        """attention_impl="int8": serving path with every dense matmul in
+        int8 (int32 MXU accumulation) — the compute half of
+        optimization/quantization.py (reference int8 compute:
+        quantization.py:25-148).
+
+        Static activation scales, when calibrated by quantize_static, arrive
+        as the "act_scales" variable collection; otherwise activations are
+        quantized dynamically.  Under a mutable "act_stats" collection the
+        dynamically-observed scales are sown (running max) — that is the
+        calibration pass itself.
+        """
+        from ..ops.int8 import int8_row_block
+
+        scales = None
+        if self.has_variable("act_scales", "scales"):
+            scales = self.get_variable("act_scales", "scales")
+        out, used = int8_row_block(rows, p, self.num_heads, act_scales=scales)
+        if self.is_mutable_collection("act_stats"):
+            self.sow(
+                "act_stats", "scales", used,
+                init_fn=lambda: {k: jnp.zeros((), jnp.float32) for k in used},
+                reduce_fn=lambda acc, new: {
+                    k: jnp.maximum(acc[k], new[k]) for k in new
+                },
+            )
+        return out
+
     def _row_block_params(self, dim: int, mlp_ratio: float) -> RowBlockParams:
         hidden = int(dim * mlp_ratio)
         pd = self.param_dtype
@@ -309,12 +337,15 @@ class TemporalSequenceAttention(nn.Module, _RowBlockMixin):
         if self.dropout > 0.0 and not deterministic:
             rng = self.make_rng("dropout")
         rows = x.transpose(0, 2, 1, 3).reshape(B * W, H, C)
-        rows = row_transformer_block(
-            rows, p, self.num_heads,
-            chunk_size=self.attn_chunk_size,
-            attention_impl=self.attention_impl,
-            dropout_rate=self.dropout, dropout_rng=rng,
-        )
+        if self.attention_impl == "int8":
+            rows = self._int8_block(rows, p)
+        else:
+            rows = row_transformer_block(
+                rows, p, self.num_heads,
+                chunk_size=self.attn_chunk_size,
+                attention_impl=self.attention_impl,
+                dropout_rate=self.dropout, dropout_rng=rng,
+            )
         return rows.reshape(B, W, H, C).transpose(0, 2, 1, 3)
 
 
@@ -339,12 +370,15 @@ class FrequencySequenceAttention(nn.Module, _RowBlockMixin):
         if self.dropout > 0.0 and not deterministic:
             rng = self.make_rng("dropout")
         rows = x.reshape(B * H, W, C)
-        rows = row_transformer_block(
-            rows, p, self.num_heads,
-            chunk_size=self.attn_chunk_size,
-            attention_impl=self.attention_impl,
-            dropout_rate=self.dropout, dropout_rng=rng,
-        )
+        if self.attention_impl == "int8":
+            rows = self._int8_block(rows, p)
+        else:
+            rows = row_transformer_block(
+                rows, p, self.num_heads,
+                chunk_size=self.attn_chunk_size,
+                attention_impl=self.attention_impl,
+                dropout_rate=self.dropout, dropout_rng=rng,
+            )
         return rows.reshape(B, H, W, C)
 
 
@@ -402,11 +436,14 @@ class ShiftedWindowAttention(nn.Module, _RowBlockMixin):
         rng = None
         if self.dropout > 0.0 and not deterministic:
             rng = self.make_rng("dropout")
-        windows = row_transformer_block(
-            windows, p, self.num_heads, chunk_size=swa_chunk,
-            attention_impl=self.attention_impl, mask=mask,
-            dropout_rate=self.dropout, dropout_rng=rng,
-        )
+        if self.attention_impl == "int8" and mask is None:
+            windows = self._int8_block(windows, p)
+        else:
+            windows = row_transformer_block(
+                windows, p, self.num_heads, chunk_size=swa_chunk,
+                attention_impl=self.attention_impl, mask=mask,
+                dropout_rate=self.dropout, dropout_rng=rng,
+            )
 
         x = window_reverse(windows, ws, B, Hp, Wp)
         if ss > 0:

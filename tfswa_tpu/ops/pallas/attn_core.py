@@ -1,0 +1,353 @@
+"""Bilinear row-attention core with fused Pallas forward AND backward.
+
+The training-time counterpart of fused_block.py: a custom-VJP primitive
+
+    acc = bilinear_attention(normed, a, wv)
+
+where ``normed`` is the LN1 output (R, N, C), ``a`` the per-head bilinear
+matrices A_h = Wq_h Wk_h^T / sqrt(D) (H, C, C) and ``wv`` the value kernel
+(C, C).  ``acc`` (R, N, C) holds each head's attention output in that head's
+D output lanes (the out-projection, residuals, LN2 and the MLP stay in XLA,
+so their gradients compose by autodiff around this core).
+
+Forward: the flash kernel of fused_block.py (scores never leave VMEM, softmax
+denominator from a ones column riding the AV matmul), additionally emitting
+the per-head row statistics m (running max) and denom needed by backward.
+
+Backward: one Pallas kernel per grid row-block that recomputes scores in
+VMEM from the saved (normed, a, m, denom) — flash-style rematerialisation
+at kernel scope instead of the previous whole-graph XLA remat
+(row_attention.py _xla_reference) — and produces dnormed plus the parameter
+gradients da / dwv accumulated across grid cells in a revisited output block.
+
+Reference behaviour covered: attention.py:34-90 (per-head softmax MHA over
+independent rows); the bilinear reformulation is TPU-specific (head_dim 4
+contractions would waste 97% of the 128-wide MXU lanes).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ._compat import default_interpret
+
+_VMEM_BUDGET = 10 * 1024 * 1024
+
+
+def _align128(n: int) -> int:
+    return ((n + 127) // 128) * 128
+
+
+def _row_block(N: int, C: int, dtype, n_planes: int) -> int:
+    """Rows per grid cell given n_planes live (N, N)-f32 score planes."""
+    sublane = 16 if dtype == jnp.bfloat16 else 8
+    if N % sublane != 0:
+        return 1
+    per_row = n_planes * N * _align128(N) * 4 + 12 * N * _align128(C) * 4
+    return max(1, min(32, _VMEM_BUDGET // max(per_row, 1)))
+
+
+# --------------------------------------------------------------------- fwd
+def _fwd_kernel(x_ref, a_ref, wv_ref, out_ref, m_ref, d_ref, *,
+                num_heads: int):
+    Rb, N, C = x_ref.shape
+    H = num_heads
+    D = C // H
+    cd = x_ref.dtype
+
+    x = x_ref[:]
+    v = jax.lax.dot_general(
+        x, wv_ref[:], (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(cd)
+    ve = jnp.concatenate([v, jnp.ones((Rb, N, 1), cd)], axis=2)
+    lane_e = jax.lax.broadcasted_iota(jnp.int32, (1, 1, C + 1), 2)
+
+    def one_head(h, acc):
+        t = jax.lax.dot_general(
+            x, a_ref[h], (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(cd)
+        s = jax.lax.dot_general(
+            t, x, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        m = jnp.max(s, axis=-1, keepdims=True)              # (Rb, N, 1)
+        p = jnp.exp(s - m)
+        v_he = jnp.where((lane_e // D == h) | (lane_e == C), ve, 0).astype(cd)
+        oe = jax.lax.dot_general(
+            p.astype(cd), v_he, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        denom = oe[:, :, C:C + 1]
+        m_ref[:, h, :] = m[:, :, 0]
+        d_ref[:, h, :] = denom[:, :, 0]
+        return acc + oe[:, :, :C] * pl.reciprocal(denom, approx=False)
+
+    # Python unroll: h is static, so the m/d stat writes are static slices
+    # on the sublane dim of the (Rb, H, N) stat blocks (Mosaic requires the
+    # last two block dims be full/aligned; dynamic sublane stores are not).
+    acc = jnp.zeros((Rb, N, C), jnp.float32)
+    for h in range(H):
+        acc = one_head(h, acc)
+    out_ref[:] = acc.astype(out_ref.dtype)
+
+
+def _fwd_impl(normed, a, wv, num_heads):
+    R, N, C = normed.shape
+    dtype = normed.dtype
+    H = num_heads
+    Rb = _row_block(N, C, dtype, n_planes=2)
+    pad = (-R) % Rb
+    x = jnp.pad(normed, ((0, pad), (0, 0), (0, 0))) if pad else normed
+    Rp = R + pad
+
+    def bcast(shape):
+        nd = len(shape)
+        return pl.BlockSpec(shape, lambda i: (0,) * nd, memory_space=pltpu.VMEM)
+
+    out, m, d = pl.pallas_call(
+        functools.partial(_fwd_kernel, num_heads=H),
+        grid=(Rp // Rb,),
+        interpret=default_interpret(),
+        in_specs=[
+            pl.BlockSpec((Rb, N, C), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            bcast((H, C, C)), bcast((C, C)),
+        ],
+        out_specs=(
+            pl.BlockSpec((Rb, N, C), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Rb, H, N), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Rb, H, N), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((Rp, N, C), dtype),
+            jax.ShapeDtypeStruct((Rp, H, N), jnp.float32),
+            jax.ShapeDtypeStruct((Rp, H, N), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Rp * N * num_heads * (C * C + 2 * N * C),
+            bytes_accessed=Rp * N * C * 2 * 2,
+            transcendentals=Rp * num_heads * N * N,
+        ),
+    )(x, a.astype(dtype), wv.astype(dtype))
+    if pad:
+        return out[:R], m[:R], d[:R]
+    return out, m, d
+
+
+# --------------------------------------------------------------------- bwd
+def _bwd_kernel(x_ref, a_ref, wv_ref, m_ref, d_ref, g_ref,
+                dx_ref, da_ref, dwv_ref, *, num_heads: int):
+    Rb, N, C = x_ref.shape
+    H = num_heads
+    D = C // H
+    cd = x_ref.dtype
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        da_ref[:] = jnp.zeros_like(da_ref)
+        dwv_ref[:] = jnp.zeros_like(dwv_ref)
+
+    x = x_ref[:]                                            # (Rb, N, C)
+    g = g_ref[:]                                            # (Rb, N, C)
+    v = jax.lax.dot_general(
+        x, wv_ref[:], (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(cd)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, C), 2)
+
+    def one_head(h, carry):
+        dx, dv = carry
+        # recompute normalized probs from saved stats (flash remat)
+        t = jax.lax.dot_general(
+            x, a_ref[h], (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(cd)
+        s = jax.lax.dot_general(
+            t, x, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )                                                   # (Rb, N, N)
+        m = m_ref[:, h, :][:, :, None]
+        dinv = pl.reciprocal(d_ref[:, h, :][:, :, None], approx=False)
+        P = jnp.exp(s - m) * dinv                           # (Rb, N, N) f32
+        Pc = P.astype(cd)
+
+        g_h = jnp.where(lane // D == h, g, 0).astype(cd)
+        v_h = jnp.where(lane // D == h, v, 0).astype(cd)
+
+        # dv_h = P^T @ g_h  — contraction over query rows i (sublane dim)
+        dv_h = jax.lax.dot_general(
+            Pc, g_h, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )                                                   # (Rb, N, C)
+        # dP = g_h @ v_h^T
+        dP = jax.lax.dot_general(
+            g_h, v_h, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )                                                   # (Rb, N, N)
+        # softmax vjp: ds = P * (dP - rowsum(dP * P))
+        r = jnp.sum(dP * P, axis=-1, keepdims=True)         # (Rb, N, 1)
+        ds = (P * (dP - r)).astype(cd)
+        # dt = ds @ x  (contraction over keys j)
+        dt = jax.lax.dot_general(
+            ds, x, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )                                                   # (Rb, N, C)
+        # dx (key side) += ds^T @ t  (contraction over queries i)
+        dx = dx + jax.lax.dot_general(
+            ds, t, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        # dx (query side) += dt @ A_h^T
+        dx = dx + jax.lax.dot_general(
+            dt.astype(cd), jnp.swapaxes(a_ref[h], 0, 1),
+            (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        # dA_h += x^T @ dt (sum over rows and queries).  Mosaic cannot lower
+        # a 2-dim contraction; flatten (Rb, N) into one contraction dim.
+        da_prev = da_ref[h]
+        da_ref[h] = da_prev + jax.lax.dot_general(
+            x.reshape(Rb * N, C), dt.astype(cd).reshape(Rb * N, C),
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return dx, dv + dv_h
+
+    # Python unroll (static h): see _fwd_kernel.
+    carry = (jnp.zeros((Rb, N, C), jnp.float32),
+             jnp.zeros((Rb, N, C), jnp.float32))
+    for h in range(H):
+        carry = one_head(h, carry)
+    dx, dv = carry
+    # v = x @ wv backward
+    dvc = dv.astype(cd)
+    dx = dx + jax.lax.dot_general(
+        dvc, jnp.swapaxes(wv_ref[:], 0, 1), (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dwv_ref[:] = dwv_ref[:] + jax.lax.dot_general(
+        x.reshape(Rb * N, C), dvc.reshape(Rb * N, C),
+        (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dx_ref[:] = dx.astype(dx_ref.dtype)
+
+
+def _bwd_impl(normed, a, wv, m, d, g, num_heads):
+    R, N, C = normed.shape
+    dtype = normed.dtype
+    H = num_heads
+    Rb = _row_block(N, C, dtype, n_planes=3)
+    pad = (-R) % Rb
+    if pad:
+        normed = jnp.pad(normed, ((0, pad), (0, 0), (0, 0)))
+        g = jnp.pad(g, ((0, pad), (0, 0), (0, 0)))
+        m = jnp.pad(m, ((0, pad), (0, 0), (0, 0)))
+        # denom 1.0 on padded rows: keeps reciprocal finite; P on padded
+        # rows multiplies zero gradients, so the contribution is zero.
+        d = jnp.pad(d, ((0, pad), (0, 0), (0, 0)), constant_values=1.0)
+    Rp = R + pad
+
+    def bcast(shape):
+        nd = len(shape)
+        return pl.BlockSpec(shape, lambda i: (0,) * nd, memory_space=pltpu.VMEM)
+
+    dx, da, dwv = pl.pallas_call(
+        functools.partial(_bwd_kernel, num_heads=H),
+        grid=(Rp // Rb,),
+        interpret=default_interpret(),
+        in_specs=[
+            pl.BlockSpec((Rb, N, C), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            bcast((H, C, C)), bcast((C, C)),
+            pl.BlockSpec((Rb, H, N), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Rb, H, N), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Rb, N, C), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((Rb, N, C), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            bcast((H, C, C)),
+            bcast((C, C)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((Rp, N, C), dtype),
+            jax.ShapeDtypeStruct((H, C, C), jnp.float32),
+            jax.ShapeDtypeStruct((C, C), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=6 * Rp * N * num_heads * (C * C + 2 * N * C),
+            bytes_accessed=Rp * N * C * 2 * 4,
+            transcendentals=Rp * num_heads * N * N,
+        ),
+    )(normed, a.astype(dtype), wv.astype(dtype), m, d, g.astype(dtype))
+    return dx[:R] if pad else dx, da, dwv
+
+
+# ------------------------------------------------------------- public api
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def bilinear_attention(normed, a, wv, num_heads):
+    """Per-head softmax(x A_h x^T) (x Wv)_h over independent rows.
+
+    normed: (R, N, C) LN output rows; a: (H, C, C); wv: (C, C).
+    Returns (R, N, C) with head h's output in lanes [h*D, (h+1)*D).
+    Forward and backward both run as fused Pallas kernels.
+    """
+    out, _, _ = _fwd_impl(normed, a, wv, num_heads)
+    return out
+
+
+def _vjp_fwd(normed, a, wv, num_heads):
+    out, m, d = _fwd_impl(normed, a, wv, num_heads)
+    return out, (normed, a, wv, m, d)
+
+
+def _vjp_bwd(num_heads, residuals, g):
+    normed, a, wv, m, d = residuals
+    dx, da, dwv = _bwd_impl(normed, a, wv, m, d, g, num_heads)
+    return dx, da.astype(a.dtype), dwv.astype(wv.dtype)
+
+
+bilinear_attention.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def pallas_bwd_profitable(R: int, N: int, C: int) -> bool:
+    """Shape gate for the Pallas backward (measured, tools/bench_backward.py
+    on v5e): wins at the C=32 large-N encoder-0 row shapes (413 vs 593 ms);
+    loses where row blocks are VMEM-bound to Rb~1 with small matmuls
+    (N=512/C=64: 450 vs 87 ms; N=64 windows: 350 vs 131 ms), and N>960
+    exceeds VMEM for the 3 live f32 score planes (remote-compile OOM).
+    Outside the winning region the custom VJP rematerialises through the
+    chunked-XLA path instead."""
+    return C <= 32 and 640 <= N <= 960
+
+
+def mha_rows_pallas(rows_normed, qkv_kernel, proj_kernel, proj_bias,
+                    num_heads):
+    """Full MHA over pre-normalised rows with Pallas forward+backward core.
+
+    Equals models/attention.mha_rows(rows_normed, ...) (reference:
+    attention.py:34-90); the bilinear weight prep and the out-projection are
+    XLA ops whose gradients compose automatically around the core.
+    """
+    from .fused_block import _bilinear_weights
+
+    dtype = rows_normed.dtype
+    a, wv = _bilinear_weights(qkv_kernel, num_heads)
+    acc = bilinear_attention(rows_normed, a.astype(dtype), wv.astype(dtype),
+                             num_heads)
+    out = jnp.einsum("rnc,ck->rnk", acc.astype(dtype),
+                     proj_kernel.astype(dtype))
+    return out + proj_bias.astype(dtype)

@@ -15,10 +15,10 @@ Attention core is the bilinear per-head form of row_attention.py
     the MXU directly in compute dtype;
   - the LN1 result never leaves VMEM, so the attention input load is free.
 
-Backward: custom VJP that rematerialises through the chunked XLA path
-(tfswa_tpu/models/attention.py mha_rows) — values are identical by the
-equivalence tests in tests/test_pallas.py.  A fused Pallas backward lives in
-fused_block_bwd.py and is used when enabled.
+Backward: custom VJP over the composed block — LN/MLP gradients by XLA
+autodiff, the N^2 attention core through attn_core.py's fused Pallas
+backward kernel (flash-style in-kernel score recomputation).  Values match
+the XLA path by the equivalence tests in tests/test_fused_block.py.
 """
 from __future__ import annotations
 
@@ -29,6 +29,8 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+from ._compat import default_interpret
 
 _VMEM_BUDGET = 11 * 1024 * 1024
 
@@ -205,6 +207,7 @@ def _fused_block_impl(rows, p, num_heads: int):
     out = pl.pallas_call(
         kernel,
         grid=(Rp // Rb,),
+        interpret=default_interpret(),
         in_specs=[
             pl.BlockSpec((Rb, N, C), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -273,6 +276,31 @@ def _xla_block(rows, p, num_heads: int, chunk: int = 16):
     return rows + h
 
 
+def _pallas_block(rows, p, num_heads: int):
+    """The same block with the attention core as a custom-VJP Pallas pair
+    (attn_core.bilinear_attention) and LN/MLP in XLA — the differentiable
+    composition used by fused_row_block's backward."""
+    from ...models.attention import _layer_norm
+    from .attn_core import mha_rows_pallas
+
+    dtype = rows.dtype
+    normed = _layer_norm(rows, p.norm1_scale, p.norm1_bias)
+    attn = mha_rows_pallas(
+        normed, p.qkv_kernel, p.proj_kernel.astype(dtype),
+        p.proj_bias.astype(dtype), num_heads,
+    )
+    rows = rows + attn
+    from ...models.layers import gelu
+
+    h = _layer_norm(rows, p.norm2_scale, p.norm2_bias)
+    h = jnp.einsum("rnc,ck->rnk", h, p.fc1_kernel.astype(dtype)) \
+        + p.fc1_bias.astype(dtype)
+    h = gelu(h)
+    h = jnp.einsum("rnk,kc->rnc", h, p.fc2_kernel.astype(dtype)) \
+        + p.fc2_bias.astype(dtype)
+    return rows + h
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def fused_row_block(rows, p, num_heads):
     """Full pre-LN transformer block over independent rows (R, N, C).
@@ -289,8 +317,17 @@ def _fwd(rows, p, num_heads):
 
 
 def _bwd(num_heads, residuals, g):
+    # Differentiate the composed block: LN/MLP gradients by XLA autodiff,
+    # the N^2 attention core through attn_core's fused Pallas backward
+    # (flash-style in-kernel score recomputation) where the shape gate says
+    # it wins, else the chunked-XLA remat path.  Values match either way
+    # (tests/test_fused_block.py).
+    from .attn_core import pallas_bwd_profitable
+
     rows, p = residuals
-    _, vjp = jax.vjp(lambda r, pp: _xla_block(r, pp, num_heads), rows, p)
+    R, N, C = rows.shape
+    block = _pallas_block if pallas_bwd_profitable(R, N, C) else _xla_block
+    _, vjp = jax.vjp(lambda r, pp: block(r, pp, num_heads), rows, p)
     return vjp(g)
 
 

@@ -10,9 +10,9 @@ of rows, runs the fused qkv matmul (MXU), the per-head attention (scores
 never leave VMEM), and the output projection, writing only the final
 (Rb, N, C) block back to HBM.
 
-Backward: a custom VJP recomputes via the XLA path (flash-style remat) so
-the kernel trains out of the box — values are identical by the equivalence
-tests in tests/test_pallas.py.
+Backward: a custom VJP through attn_core's fused Pallas backward kernel
+(in-kernel flash-style score recomputation); the out-projection gradient
+composes by XLA autodiff.  Equivalence: tests/test_pallas.py.
 
 Head count is static and small (<= 8), so the head loop is a Python unroll
 with static lane slices — no unaligned dynamic slicing on the lane dim.
@@ -26,6 +26,8 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+from ._compat import default_interpret
 
 _VMEM_BUDGET = 10 * 1024 * 1024  # soft budget for per-cell intermediates
 
@@ -193,6 +195,7 @@ def _flash_rows_impl(rows, qkv_kernel, proj_kernel, proj_bias, num_heads):
     out = pl.pallas_call(
         kernel,
         grid=(Rp // Rb,),
+        interpret=default_interpret(),
         in_specs=[
             pl.BlockSpec((Rb, N, C), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -253,9 +256,15 @@ def _fwd(rows, qkv_kernel, proj_kernel, proj_bias, num_heads):
 
 
 def _bwd(num_heads, residuals, g):
+    from .attn_core import mha_rows_pallas, pallas_bwd_profitable
+
     rows, qkv_kernel, proj_kernel, proj_bias = residuals
+    R, N, C = rows.shape
+    impl = (
+        mha_rows_pallas if pallas_bwd_profitable(R, N, C) else _xla_reference
+    )
     _, vjp = jax.vjp(
-        lambda r, wq, wp, b: _xla_reference(r, wq, wp, b, num_heads),
+        lambda r, wq, wp, b: impl(r, wq, wp, b, num_heads),
         rows, qkv_kernel, proj_kernel, proj_bias,
     )
     return vjp(g)

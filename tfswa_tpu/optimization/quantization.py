@@ -2,12 +2,14 @@
 
 The reference wraps torch.quantization (FBGEMM/QNNPACK CPU kernels).  Here:
   - ``quantize_params`` / ``dequantize_params``: symmetric per-output-channel
-    int8 weight quantization of every >=2-D kernel (dynamic-quantization
-    equivalent, reference: quantize_dynamic quantization.py:25-78).  4x
-    smaller checkpoints; compute happens after dequantization, trading the
-    reference's CPU int8 kernels for XLA's bf16 MXU path (which is already
-    2x fp32 on TPU).
-  - ``QuantizedModel``: applies a model from quantized weights.
+    int8 weight quantization of every >=2-D kernel (reference:
+    quantize_dynamic quantization.py:25-78).  4x smaller checkpoints.
+  - ``QuantizedModel``: applies a model from quantized weights; with
+    compute="int8" the attention/MLP dense matmuls genuinely run
+    int8 x int8 -> int32 on the MXU (ops/int8.py).
+  - ``quantize_static`` / ``calibrate_act_scales``: the reference's
+    calibration loop (quantization.py:116-148) — static activation scales
+    observed over calibration batches, consumed by the int8 compute path.
   - ``compare_models`` / ``benchmark_quantized_model``: output-diff, size and
     latency A/B (reference: quantization.py:243-371).
   - ``fake_quantize_params``: quantize->dequantize in place for QAT-style
@@ -16,7 +18,7 @@ The reference wraps torch.quantization (FBGEMM/QNNPACK CPU kernels).  Here:
 from __future__ import annotations
 
 import time
-from typing import Callable, Dict, Tuple
+from typing import Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -73,11 +75,24 @@ def quantized_size_bytes(qparams) -> int:
 
 
 class QuantizedModel:
-    """Serve a model from int8 weights (dequantized once at load)
-    (reference: QuantizableModel quantization.py:207-240)."""
+    """Serve a model from int8 weights (reference: QuantizableModel
+    quantization.py:207-240).
 
-    def __init__(self, model: TFSWAUNet, qparams: Dict, batch_stats: Dict):
-        self.model = model
+    compute="dequant": weights dequantize once at load; matmuls run bf16/f32
+    on the MXU (weight-storage quantization only).
+    compute="int8":   every dense matmul in the attention/MLP stack runs
+    int8 x int8 -> int32 on the MXU (ops/int8.py), with dynamic activation
+    scales or the static scales calibrated by ``quantize_static``.
+    """
+
+    def __init__(self, model: TFSWAUNet, qparams: Dict, batch_stats: Dict,
+                 compute: str = "dequant", act_scales: Optional[Dict] = None):
+        if compute not in ("dequant", "int8"):
+            raise ValueError(f"unknown compute mode {compute}")
+        self.compute = compute
+        self.model = (
+            model.clone(attention_impl="int8") if compute == "int8" else model
+        )
         self.qparams = qparams
         self.variables = {
             "params": jax.tree_util.tree_map(
@@ -85,6 +100,8 @@ class QuantizedModel:
             ),
             "batch_stats": batch_stats,
         }
+        if act_scales is not None:
+            self.variables["act_scales"] = act_scales
         self._forward = jax.jit(
             lambda x: self.model.apply(self.variables, x, train=False)
         )
@@ -94,10 +111,12 @@ class QuantizedModel:
 
 
 def quantize_dynamic(
-    model: TFSWAUNet, variables: Dict
+    model: TFSWAUNet, variables: Dict, compute: str = "dequant"
 ) -> Tuple[QuantizedModel, Dict]:
-    """Weight-only int8 (reference: quantize_dynamic quantization.py:25-78).
-    Returns (quantized model, stats incl. compression ratio)."""
+    """Dynamic int8 (reference: quantize_dynamic quantization.py:25-78):
+    weights statically quantized per-channel; with compute="int8" the dense
+    matmuls run in int8 with per-call dynamic activation scales (the torch
+    quantize_dynamic semantics).  Returns (quantized model, stats)."""
     qparams = quantize_params(variables["params"])
     fp32_bytes = sum(
         np.asarray(p).nbytes for p in jax.tree_util.tree_leaves(variables["params"])
@@ -108,18 +127,75 @@ def quantize_dynamic(
         "int8_mb": q_bytes / 1024 / 1024,
         "compression_ratio": fp32_bytes / q_bytes,
     }
-    return QuantizedModel(model, qparams, variables["batch_stats"]), stats
+    qmodel = QuantizedModel(
+        model, qparams, variables["batch_stats"], compute=compute
+    )
+    return qmodel, stats
+
+
+def calibrate_act_scales(
+    model: TFSWAUNet, variables: Dict, calibration_batches, max_batches: int = 100
+) -> Dict:
+    """Observe per-site activation absmax over calibration data
+    (reference calibration loop: quantization.py:116-148, <=100 batches).
+
+    Runs the int8-impl model with a mutable "act_stats" collection — each
+    attention module sows the running max of the dynamic scales it computed —
+    and folds the per-batch stats into one static "act_scales" tree.
+    """
+    int8_model = model.clone(attention_impl="int8")
+    apply = jax.jit(
+        lambda v, x: int8_model.apply(
+            v, x, train=False, mutable=["act_stats"]
+        )[1]["act_stats"]
+    )
+    merged = None
+    for i, batch in enumerate(calibration_batches):
+        if i >= max_batches:
+            break
+        x = jnp.asarray(batch, jnp.float32)
+        stats = jax.device_get(apply(variables, x))
+        merged = stats if merged is None else jax.tree_util.tree_map(
+            np.maximum, merged, stats
+        )
+    if merged is None:
+        raise ValueError("calibration_batches is empty")
+    return jax.tree_util.tree_map(jnp.asarray, merged)
 
 
 def quantize_static(
     model: TFSWAUNet, variables: Dict, calibration_batches=None
 ) -> Tuple[QuantizedModel, Dict]:
-    """Static quantization entry point (reference: quantization.py:81-152).
-    Weight quantization is calibration-free (symmetric per-channel); the
-    calibration argument is accepted for API parity and reserved for future
-    activation quantization."""
-    del calibration_batches
-    return quantize_dynamic(model, variables)
+    """Static int8 (reference: quantization.py:81-152): per-channel int8
+    weights AND int8 compute with activation scales fixed from a calibration
+    pass over ``calibration_batches`` (an iterable of model inputs).  Without
+    calibration data this degrades to dynamic activation scales."""
+    qparams = quantize_params(variables["params"])
+    act_scales = None
+    if calibration_batches is not None:
+        # calibrate at the quantized-weight operating point
+        deq = {
+            "params": jax.tree_util.tree_map(
+                jnp.asarray, dequantize_params(qparams)
+            ),
+            "batch_stats": variables["batch_stats"],
+        }
+        act_scales = calibrate_act_scales(model, deq, calibration_batches)
+    qmodel = QuantizedModel(
+        model, qparams, variables["batch_stats"],
+        compute="int8", act_scales=act_scales,
+    )
+    fp32_bytes = sum(
+        np.asarray(p).nbytes for p in jax.tree_util.tree_leaves(variables["params"])
+    )
+    q_bytes = quantized_size_bytes(qparams)
+    stats = {
+        "fp32_mb": fp32_bytes / 1024 / 1024,
+        "int8_mb": q_bytes / 1024 / 1024,
+        "compression_ratio": fp32_bytes / q_bytes,
+        "calibrated": act_scales is not None,
+    }
+    return qmodel, stats
 
 
 def prepare_qat(model: TFSWAUNet, variables: Dict) -> Dict:
