@@ -54,6 +54,10 @@ def _row_block(N: int, C: int, dtype, n_planes: int) -> int:
 # --------------------------------------------------------------------- fwd
 def _fwd_kernel(x_ref, a_ref, wv_ref, out_ref, m_ref, d_ref, *,
                 num_heads: int):
+    """Transposed-AV layout (see fused_block._fused_block_kernel): scores
+    pre-transposed (keys on sublanes, queries on lanes), per-head AV output
+    of D+1 SUBLANE rows (the +1 ones row carries the softmax denominator).
+    Heads are Python-unrolled: static v/stat slices."""
     Rb, N, C = x_ref.shape
     H = num_heads
     D = C // H
@@ -64,37 +68,35 @@ def _fwd_kernel(x_ref, a_ref, wv_ref, out_ref, m_ref, d_ref, *,
         x, wv_ref[:], (((2,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).astype(cd)
-    ve = jnp.concatenate([v, jnp.ones((Rb, N, 1), cd)], axis=2)
-    lane_e = jax.lax.broadcasted_iota(jnp.int32, (1, 1, C + 1), 2)
+    vT = jnp.swapaxes(v, 1, 2)                              # (Rb, C, N)
+    ones_row = jnp.ones((Rb, 1, N), cd)
 
-    def one_head(h, acc):
+    accT_parts = []
+    for h in range(H):
         t = jax.lax.dot_general(
             x, a_ref[h], (((2,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ).astype(cd)
-        s = jax.lax.dot_general(
-            t, x, (((2,), (2,)), ((0,), (0,))),
+        sT = jax.lax.dot_general(
+            x, t, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        )
-        m = jnp.max(s, axis=-1, keepdims=True)              # (Rb, N, 1)
-        p = jnp.exp(s - m)
-        v_he = jnp.where((lane_e // D == h) | (lane_e == C), ve, 0).astype(cd)
-        oe = jax.lax.dot_general(
-            p.astype(cd), v_he, (((2,), (1,)), ((0,), (0,))),
+        )                                                   # (Rb, Nm, Nn)
+        mx = jnp.max(sT, axis=1, keepdims=True)             # (Rb, 1, Nn)
+        pT = jnp.exp(sT - mx).astype(cd)
+        v_hT = jnp.concatenate(
+            [vT[:, h * D:(h + 1) * D, :], ones_row], axis=1
+        )                                                   # (Rb, D+1, Nm)
+        oeT = jax.lax.dot_general(
+            v_hT, pT, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        )
-        denom = oe[:, :, C:C + 1]
-        m_ref[:, h, :] = m[:, :, 0]
-        d_ref[:, h, :] = denom[:, :, 0]
-        return acc + oe[:, :, :C] * pl.reciprocal(denom, approx=False)
-
-    # Python unroll: h is static, so the m/d stat writes are static slices
-    # on the sublane dim of the (Rb, H, N) stat blocks (Mosaic requires the
-    # last two block dims be full/aligned; dynamic sublane stores are not).
-    acc = jnp.zeros((Rb, N, C), jnp.float32)
-    for h in range(H):
-        acc = one_head(h, acc)
-    out_ref[:] = acc.astype(out_ref.dtype)
+        )                                                   # (Rb, D+1, Nn)
+        denomT = oeT[:, D:D + 1, :]
+        m_ref[:, h, :] = mx[:, 0, :]
+        d_ref[:, h, :] = denomT[:, 0, :]
+        accT_parts.append(
+            oeT[:, :D, :] * pl.reciprocal(denomT, approx=False))
+    accT = jnp.concatenate(accT_parts, axis=1)              # (Rb, C, N)
+    out_ref[:] = jnp.swapaxes(accT, 1, 2).astype(out_ref.dtype)
 
 
 def _fwd_impl(normed, a, wv, num_heads):
@@ -146,6 +148,12 @@ def _fwd_impl(normed, a, wv, num_heads):
 # --------------------------------------------------------------------- bwd
 def _bwd_kernel(x_ref, a_ref, wv_ref, m_ref, d_ref, g_ref,
                 dx_ref, da_ref, dwv_ref, *, num_heads: int):
+    """Transposed-layout backward: everything head-sliced lives on SUBLANES
+    (D rows pad to 8) instead of lanes (32 masked lanes pad to 128), and the
+    big (N, N)-plane matmuls keep both N dims on full tiles — roughly half
+    the executed matmul volume of the lane-masked formulation.  Probs are
+    recomputed in-kernel from the saved (m, denom) stats (flash remat).
+    Heads are Python-unrolled: static slices throughout."""
     Rb, N, C = x_ref.shape
     H = num_heads
     D = C // H
@@ -158,88 +166,91 @@ def _bwd_kernel(x_ref, a_ref, wv_ref, m_ref, d_ref, g_ref,
 
     x = x_ref[:]                                            # (Rb, N, C)
     g = g_ref[:]                                            # (Rb, N, C)
+    xT = jnp.swapaxes(x, 1, 2)                              # (Rb, C, N)
+    gT = jnp.swapaxes(g, 1, 2)
     v = jax.lax.dot_general(
         x, wv_ref[:], (((2,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).astype(cd)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, C), 2)
+    vT = jnp.swapaxes(v, 1, 2)                              # (Rb, C, N)
 
-    def one_head(h, carry):
-        dx, dv = carry
-        # recompute normalized probs from saved stats (flash remat)
+    dxT = jnp.zeros((Rb, C, N), jnp.float32)
+    dvT_parts = []
+    da_new = []
+    for h in range(H):
+        # recompute transposed probs from saved stats (flash remat)
         t = jax.lax.dot_general(
             x, a_ref[h], (((2,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ).astype(cd)
-        s = jax.lax.dot_general(
-            t, x, (((2,), (2,)), ((0,), (0,))),
+        ).astype(cd)                                        # (Rb, N, C)
+        tT = jnp.swapaxes(t, 1, 2)                          # (Rb, C, N)
+        sT = jax.lax.dot_general(
+            x, t, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        )                                                   # (Rb, N, N)
-        m = m_ref[:, h, :][:, :, None]
-        dinv = pl.reciprocal(d_ref[:, h, :][:, :, None], approx=False)
-        P = jnp.exp(s - m) * dinv                           # (Rb, N, N) f32
-        Pc = P.astype(cd)
+        )                                                   # (Rb, m, n)
+        mT = m_ref[:, h, :][:, None, :]                     # (Rb, 1, n)
+        dinvT = pl.reciprocal(d_ref[:, h, :][:, None, :], approx=False)
+        PT = jnp.exp(sT - mT) * dinvT                       # (Rb, m, n) f32
+        PTc = PT.astype(cd)
 
-        g_h = jnp.where(lane // D == h, g, 0).astype(cd)
-        v_h = jnp.where(lane // D == h, v, 0).astype(cd)
+        g_hT = gT[:, h * D:(h + 1) * D, :]                  # (Rb, D, n)
+        v_hT = vT[:, h * D:(h + 1) * D, :]                  # (Rb, D, m)
 
-        # dv_h = P^T @ g_h  — contraction over query rows i (sublane dim)
-        dv_h = jax.lax.dot_general(
-            Pc, g_h, (((1,), (1,)), ((0,), (0,))),
+        # dv_h(d, m) = sum_n g_h(d, n) P(n, m)
+        dvT_parts.append(jax.lax.dot_general(
+            g_hT, PTc, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        )                                                   # (Rb, N, C)
-        # dP = g_h @ v_h^T
-        dP = jax.lax.dot_general(
-            g_h, v_h, (((2,), (2,)), ((0,), (0,))),
+        ))                                                  # (Rb, D, m)
+        # dP(m, n) = sum_d v_h(d, m) g_h(d, n)
+        dPT = jax.lax.dot_general(
+            v_hT, g_hT, (((1,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        )                                                   # (Rb, N, N)
-        # softmax vjp: ds = P * (dP - rowsum(dP * P))
-        r = jnp.sum(dP * P, axis=-1, keepdims=True)         # (Rb, N, 1)
-        ds = (P * (dP - r)).astype(cd)
-        # dt = ds @ x  (contraction over keys j)
-        dt = jax.lax.dot_general(
-            ds, x, (((2,), (1,)), ((0,), (0,))),
+        )                                                   # (Rb, m, n)
+        # softmax vjp: ds = P * (dP - sum_m(dP * P))   (reduce over keys m)
+        rT = jnp.sum(dPT * PT, axis=1, keepdims=True)       # (Rb, 1, n)
+        dsT = (PT * (dPT - rT)).astype(cd)                  # (Rb, m, n)
+        # dt(k, n) = sum_m x(k, m) ds(m, n)
+        dtT = jax.lax.dot_general(
+            xT.astype(cd), dsT, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        )                                                   # (Rb, N, C)
-        # dx (key side) += ds^T @ t  (contraction over queries i)
-        dx = dx + jax.lax.dot_general(
-            ds, t, (((1,), (1,)), ((0,), (0,))),
+        )                                                   # (Rb, C, n)
+        # dx key side: dx(c, m) += sum_n t(c, n) ds(m, n)
+        dxT = dxT + jax.lax.dot_general(
+            tT, dsT, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
-        # dx (query side) += dt @ A_h^T
-        dx = dx + jax.lax.dot_general(
-            dt.astype(cd), jnp.swapaxes(a_ref[h], 0, 1),
-            (((2,), (0,)), ((), ())),
+        # dx query side: dx(c, n) += sum_k A_h(c, k) dt(k, n)
+        dxT = dxT + jax.lax.dot_general(
+            jnp.broadcast_to(a_ref[h].astype(cd), (Rb, C, C)),
+            dtT.astype(cd), (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
-        # dA_h += x^T @ dt (sum over rows and queries).  Mosaic cannot lower
-        # a 2-dim contraction; flatten (Rb, N) into one contraction dim.
-        da_prev = da_ref[h]
-        da_ref[h] = da_prev + jax.lax.dot_general(
-            x.reshape(Rb * N, C), dt.astype(cd).reshape(Rb * N, C),
+        # dA_h += x^T dt (sum over rows and queries).  Mosaic cannot lower a
+        # 2-dim contraction; flatten (Rb, N) into one contraction dim.
+        dt = jnp.swapaxes(dtT.astype(cd), 1, 2)             # (Rb, N, C)
+        da_new.append(jax.lax.dot_general(
+            x.reshape(Rb * N, C), dt.reshape(Rb * N, C),
             (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )
-        return dx, dv + dv_h
+        ))
 
-    # Python unroll (static h): see _fwd_kernel.
-    carry = (jnp.zeros((Rb, N, C), jnp.float32),
-             jnp.zeros((Rb, N, C), jnp.float32))
-    for h in range(H):
-        carry = one_head(h, carry)
-    dx, dv = carry
-    # v = x @ wv backward
-    dvc = dv.astype(cd)
-    dx = dx + jax.lax.dot_general(
-        dvc, jnp.swapaxes(wv_ref[:], 0, 1), (((2,), (0,)), ((), ())),
+    dvT = jnp.concatenate(dvT_parts, axis=1)                # (Rb, C, m)
+    # v = x @ wv backward: dx(c, n) += sum_k wv(c, k) dv(k, n)
+    dvTc = dvT.astype(cd)
+    dxT = dxT + jax.lax.dot_general(
+        jnp.broadcast_to(wv_ref[:], (Rb, C, C)), dvTc,
+        (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )
+    dv = jnp.swapaxes(dvTc, 1, 2)                           # (Rb, N, C)
     dwv_ref[:] = dwv_ref[:] + jax.lax.dot_general(
-        x.reshape(Rb * N, C), dvc.reshape(Rb * N, C),
+        x.reshape(Rb * N, C), dv.reshape(Rb * N, C),
         (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    dx_ref[:] = dx.astype(dx_ref.dtype)
+    for h in range(H):
+        da_ref[h] = da_ref[h] + da_new[h]
+    dx_ref[:] = jnp.swapaxes(dxT, 1, 2).astype(dx_ref.dtype)
 
 
 def _bwd_impl(normed, a, wv, m, d, g, num_heads):

@@ -57,17 +57,6 @@ def _row_block(N: int, C: int, mlp_hidden: int, dtype,
     return max(1, min(32, cap))
 
 
-def _pick_unroll(N: int, C: int, mlp_hidden: int, num_heads: int,
-                 dtype) -> int:
-    """Unroll 2 heads when two score/prob plane pairs fit the VMEM budget."""
-    if num_heads % 2 != 0:
-        return 1
-    per_unroll2 = (
-        4 * N * _align128(N) * 4
-        + 14 * N * _align128(C) * 4
-        + 2 * N * _align128(mlp_hidden) * 4
-    )
-    return 2 if per_unroll2 <= _VMEM_BUDGET else 1
 
 
 def _erf(x):
@@ -85,7 +74,7 @@ def _erf(x):
 def _fused_block_kernel(
     x_ref, ln1s_ref, ln1b_ref, a_ref, wv_ref, wo_ref, ob_ref,
     ln2s_ref, ln2b_ref, fc1_ref, f1b_ref, fc2_ref, f2b_ref,
-    out_ref, *, num_heads: int, unroll: int = 1,
+    out_ref, *, num_heads: int,
 ):
     Rb, N, C = x_ref.shape
     H = num_heads
@@ -102,48 +91,46 @@ def _fused_block_kernel(
     normed = n1.astype(cd)
 
     # --- attention: bilinear per-head flash, scores never leave VMEM ---
+    # Transposed-AV layout: scores are computed pre-transposed (keys m on
+    # sublanes, queries n on lanes), softmax reduces over sublanes, and each
+    # head's AV matmul produces only its OWN D+1 output rows
+    #   oeT_h = [v_h^T ; 1] @ P_h^T      -- (D+1, N) @ (N, N)
+    # with the small dim on SUBLANES (D+1=5 -> 8) instead of lanes
+    # (33 -> 128): 16x less executed AV volume than the lane-padded form.
+    # The appended ones row carries the softmax denominator out of the same
+    # matmul (flash trick).  Heads are Python-unrolled so the v_h slices are
+    # static.
     v = jax.lax.dot_general(
         normed, wv_ref[:], (((2,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).astype(cd)                                            # (Rb, N, C)
-    # Extended values [v | 1]: lane C carries a ones column so the softmax
-    # denominator falls out of the AV matmul (the MXU output pads 33 -> 128
-    # lanes anyway), replacing a full (N, N) VPU sum pass per head.
-    ve = jnp.concatenate([v, jnp.ones((Rb, N, 1), cd)], axis=2)
-    lane_e = jax.lax.broadcasted_iota(jnp.int32, (1, 1, C + 1), 2)
+    vT = jnp.swapaxes(v, 1, 2)                              # (Rb, C, N)
+    ones_row = jnp.ones((Rb, 1, N), cd)
 
-    def one_head(h, acc):
+    accT_parts = []
+    for h in range(H):
         t = jax.lax.dot_general(
             normed, a_ref[h], (((2,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ).astype(cd)                                        # (Rb, N, C)
-        scores = jax.lax.dot_general(
-            t, normed, (((2,), (2,)), ((0,), (0,))),
+        sT = jax.lax.dot_general(
+            normed, t, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        )                                                   # (Rb, N, N) f32
-        m = jnp.max(scores, axis=-1, keepdims=True)
-        p = jnp.exp(scores - m)                             # <= 1, safe in cd
-        v_he = jnp.where((lane_e // D == h) | (lane_e == C), ve, 0).astype(cd)
-        oe = jax.lax.dot_general(
-            p.astype(cd), v_he, (((2,), (1,)), ((0,), (0,))),
+        )                                                   # (Rb, Nm, Nn) f32
+        mx = jnp.max(sT, axis=1, keepdims=True)             # over keys m
+        pT = jnp.exp(sT - mx).astype(cd)                    # <= 1, safe in cd
+        v_hT = jnp.concatenate(
+            [vT[:, h * D:(h + 1) * D, :], ones_row], axis=1
+        )                                                   # (Rb, D+1, Nm)
+        oeT = jax.lax.dot_general(
+            v_hT, pT, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        )                                                   # (Rb, N, C+1) f32
-        # fold softmax normalisation into a rank-1 post-scale (flash trick);
-        # oe[..., C] = sum_j p_ij (f32 MXU accumulation of the ones column)
-        denom = oe[:, :, C:C + 1]
-        return acc + oe[:, :, :C] * pl.reciprocal(denom, approx=False)
-
-    def head_body(i, acc):
-        # unroll > 1 exposes independent heads so Mosaic can overlap one
-        # head's VPU softmax with the next head's MXU score matmul — the two
-        # are near-equal per-row costs at stage-1 shapes.
-        for j in range(unroll):
-            acc = one_head(i * unroll + j, acc)
-        return acc
-
-    acc = jax.lax.fori_loop(
-        0, H // unroll, head_body, jnp.zeros((Rb, N, C), jnp.float32)
-    )
+        )                                                   # (Rb, D+1, Nn)
+        denomT = oeT[:, D:D + 1, :]
+        accT_parts.append(
+            oeT[:, :D, :] * pl.reciprocal(denomT, approx=False))
+    accT = jnp.concatenate(accT_parts, axis=1)              # (Rb, C, N)
+    acc = jnp.swapaxes(accT, 1, 2)                          # (Rb, N, C)
     attn = jax.lax.dot_general(
         acc.astype(cd), wo_ref[:], (((2,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -189,8 +176,7 @@ def _fused_block_impl(rows, p, num_heads: int):
     R, N, C = rows.shape
     dtype = rows.dtype
     hidden = p.fc1_kernel.shape[1]
-    unroll = _pick_unroll(N, C, hidden, num_heads, dtype)
-    Rb = _row_block(N, C, hidden, dtype, unroll)
+    Rb = _row_block(N, C, hidden, dtype)
     pad = (-R) % Rb
     padded = jnp.pad(rows, ((0, pad), (0, 0), (0, 0))) if pad else rows
     Rp = R + pad
@@ -202,8 +188,7 @@ def _fused_block_impl(rows, p, num_heads: int):
         nd = len(shape)
         return pl.BlockSpec(shape, lambda i: (0,) * nd, memory_space=pltpu.VMEM)
 
-    kernel = functools.partial(_fused_block_kernel, num_heads=num_heads,
-                               unroll=unroll)
+    kernel = functools.partial(_fused_block_kernel, num_heads=num_heads)
     out = pl.pallas_call(
         kernel,
         grid=(Rp // Rb,),

@@ -40,6 +40,52 @@ def make_kernel(variant: str, num_heads: int):
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, C), 2)
         normedT = jnp.swapaxes(normed, 1, 2) if variant == "hoistT" else None
 
+        if variant == "avT":
+            # Transposed AV: per-head output rows live on SUBLANES (D+1 of 8)
+            # instead of lanes (33 of 128), cutting executed AV volume 16x;
+            # scores computed pre-transposed (keys on sublanes) so softmax
+            # reduces over sublanes and pT feeds the AV matmul directly.
+            vT = jnp.swapaxes(v, 1, 2)                     # (Rb, C, N)
+            ones_row = jnp.ones((Rb, 1, N), cd)
+            accT_parts = []
+            for h in range(H):
+                t = jax.lax.dot_general(
+                    normed, a_ref[h], (((2,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32).astype(cd)
+                sT = jax.lax.dot_general(
+                    normed, t, (((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)    # (Rb, Nm, Nn)
+                mx = jnp.max(sT, axis=1, keepdims=True)    # over keys m
+                pT = jnp.exp(sT - mx).astype(cd)
+                v_hT = jnp.concatenate(
+                    [vT[:, h * D:(h + 1) * D, :], ones_row], axis=1
+                )                                          # (Rb, D+1, Nm)
+                oeT = jax.lax.dot_general(
+                    v_hT, pT, (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)    # (Rb, D+1, Nn)
+                denomT = oeT[:, D:D + 1, :]
+                accT_parts.append(
+                    oeT[:, :D, :] * pl.reciprocal(denomT, approx=False))
+            accT = jnp.concatenate(accT_parts, axis=1)     # (Rb, C, N)
+            acc = jnp.swapaxes(accT, 1, 2)                 # (Rb, N, C)
+            attn = jax.lax.dot_general(
+                acc.astype(cd), wo_ref[:], (((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) + ob_ref[:].astype(jnp.float32)
+            y = xf + attn
+            mean2 = jnp.mean(y, -1, keepdims=True)
+            var2 = jnp.var(y, -1, keepdims=True)
+            n2 = (y - mean2) * jax.lax.rsqrt(var2 + 1e-5)
+            n2 = n2 * ln2s[:].astype(jnp.float32) + ln2b[:].astype(jnp.float32)
+            h1 = jax.lax.dot_general(
+                n2.astype(cd), fc1_ref[:], (((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) + f1b[:].astype(jnp.float32)
+            h1 = (0.5 * h1 * (1.0 + _erf(h1 * (2.0 ** -0.5)))).astype(cd)
+            h2 = jax.lax.dot_general(
+                h1, fc2_ref[:], (((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) + f2b[:].astype(jnp.float32)
+            out_ref[:] = (y + h2).astype(out_ref.dtype)
+            return
+
         def head(h, acc):
             t = jax.lax.dot_general(
                 normed, a_ref[h], (((2,), (0,)), ((), ())),
