@@ -193,12 +193,27 @@ class Trainer:
         )
 
     # -------------------------------------------------------------- epochs
+    def _epoch_batches(self):
+        """Exactly ``steps_per_epoch`` batches per epoch: when
+        train.steps_per_epoch overrides the dataset-derived length, the
+        loader is cycled (fresh random segments each pass) so epoch size is
+        a real training knob rather than only a schedule input."""
+        done = 0
+        while done < self.steps_per_epoch:
+            for batch in self._device_batches(self.train_loader):
+                yield batch
+                done += 1
+                if done >= self.steps_per_epoch:
+                    return
+            if done == 0:
+                return                                     # empty loader
+
     def train_epoch(self) -> Dict[str, float]:
         """(reference: trainer.py:120-257)"""
         sums: Dict[str, float] = {}
         count = 0
         t0 = time.time()
-        for mixtures, targets in self._device_batches(self.train_loader):
+        for mixtures, targets in self._epoch_batches():
             if self.audio_aug is not None or self.mixup is not None:
                 self._aug_rng, key = jax.random.split(self._aug_rng)
                 mixtures, targets = self._augment(key, mixtures, targets)
