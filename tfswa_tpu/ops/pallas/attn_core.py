@@ -146,14 +146,24 @@ def _fwd_impl(normed, a, wv, num_heads):
 
 
 # --------------------------------------------------------------------- bwd
-def _bwd_kernel(x_ref, a_ref, wv_ref, m_ref, d_ref, g_ref,
-                dx_ref, da_ref, dwv_ref, *, num_heads: int):
-    """Transposed-layout backward: everything head-sliced lives on SUBLANES
-    (D rows pad to 8) instead of lanes (32 masked lanes pad to 128), and the
-    big (N, N)-plane matmuls keep both N dims on full tiles — roughly half
-    the executed matmul volume of the lane-masked formulation.  Probs are
-    recomputed in-kernel from the saved (m, denom) stats (flash remat).
-    Heads are Python-unrolled: static slices throughout."""
+def _bwd_kernel(x_ref, a_ref, wv_ref, m_ref, d_ref, o_ref, g_ref,
+                dx_ref, da_ref, dwv_ref, *, num_heads: int, key_chunk: int):
+    """Transposed-layout flash backward with KEY CHUNKING.
+
+    Layout: everything head-sliced lives on SUBLANES (D rows pad to 8)
+    instead of masked lanes (32 pad to 128), and the big (N, N)-plane
+    matmuls keep both N dims on full tiles — roughly half the executed
+    matmul volume of a lane-masked formulation.
+
+    Probs are recomputed from the saved (m, denom) stats (flash remat), one
+    key chunk at a time, so peak VMEM is O(key_chunk * N) score planes and
+    ANY N fits (the unchunked form OOMs VMEM at N=1025).  The softmax-vjp
+    row term uses the classic flash-backward identity
+        r(n) = sum_m dP(m,n) P(m,n) = <g_h(n), o_h(n)>
+    so no extra (N, N) reduction pass is needed.
+
+    Heads AND chunks are Python-unrolled: static slices throughout.
+    """
     Rb, N, C = x_ref.shape
     H = num_heads
     D = C // H
@@ -168,57 +178,69 @@ def _bwd_kernel(x_ref, a_ref, wv_ref, m_ref, d_ref, g_ref,
     g = g_ref[:]                                            # (Rb, N, C)
     xT = jnp.swapaxes(x, 1, 2)                              # (Rb, C, N)
     gT = jnp.swapaxes(g, 1, 2)
+    goT = gT.astype(jnp.float32) * jnp.swapaxes(
+        o_ref[:], 1, 2).astype(jnp.float32)                 # (Rb, C, N)
     v = jax.lax.dot_general(
         x, wv_ref[:], (((2,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).astype(cd)
     vT = jnp.swapaxes(v, 1, 2)                              # (Rb, C, N)
 
+    chunks = [(j, min(j + key_chunk, N))
+              for j in range(0, N, key_chunk)]
+
     dxT = jnp.zeros((Rb, C, N), jnp.float32)
     dvT_parts = []
     da_new = []
     for h in range(H):
-        # recompute transposed probs from saved stats (flash remat)
         t = jax.lax.dot_general(
             x, a_ref[h], (((2,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ).astype(cd)                                        # (Rb, N, C)
         tT = jnp.swapaxes(t, 1, 2)                          # (Rb, C, N)
-        sT = jax.lax.dot_general(
-            x, t, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )                                                   # (Rb, m, n)
         mT = m_ref[:, h, :][:, None, :]                     # (Rb, 1, n)
         dinvT = pl.reciprocal(d_ref[:, h, :][:, None, :], approx=False)
-        PT = jnp.exp(sT - mT) * dinvT                       # (Rb, m, n) f32
-        PTc = PT.astype(cd)
-
+        # r(n) = <g_h(n), o_h(n)>  (flash-backward identity)
+        rT = jnp.sum(goT[:, h * D:(h + 1) * D, :], axis=1,
+                     keepdims=True)                         # (Rb, 1, n)
         g_hT = gT[:, h * D:(h + 1) * D, :]                  # (Rb, D, n)
-        v_hT = vT[:, h * D:(h + 1) * D, :]                  # (Rb, D, m)
 
-        # dv_h(d, m) = sum_n g_h(d, n) P(n, m)
-        dvT_parts.append(jax.lax.dot_general(
-            g_hT, PTc, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        ))                                                  # (Rb, D, m)
-        # dP(m, n) = sum_d v_h(d, m) g_h(d, n)
-        dPT = jax.lax.dot_general(
-            v_hT, g_hT, (((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )                                                   # (Rb, m, n)
-        # softmax vjp: ds = P * (dP - sum_m(dP * P))   (reduce over keys m)
-        rT = jnp.sum(dPT * PT, axis=1, keepdims=True)       # (Rb, 1, n)
-        dsT = (PT * (dPT - rT)).astype(cd)                  # (Rb, m, n)
-        # dt(k, n) = sum_m x(k, m) ds(m, n)
-        dtT = jax.lax.dot_general(
-            xT.astype(cd), dsT, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )                                                   # (Rb, C, n)
-        # dx key side: dx(c, m) += sum_n t(c, n) ds(m, n)
-        dxT = dxT + jax.lax.dot_general(
-            tT, dsT, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )
+        dtT = jnp.zeros((Rb, C, N), jnp.float32)
+        dv_chunks = []
+        dxk_chunks = []
+        for (j0, j1) in chunks:
+            x_j = x[:, j0:j1, :]                            # (Rb, nc, C)
+            sT_j = jax.lax.dot_general(
+                x_j, t, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )                                               # (Rb, nc, n)
+            PT_j = jnp.exp(sT_j - mT) * dinvT
+            PTc_j = PT_j.astype(cd)
+            # dv_h(d, m) = sum_n g_h(d, n) P(m, n)
+            dv_chunks.append(jax.lax.dot_general(
+                g_hT, PTc_j, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ))                                              # (Rb, D, nc)
+            # dP(m, n) = sum_d v_h(d, m) g_h(d, n)
+            dPT_j = jax.lax.dot_general(
+                vT[:, h * D:(h + 1) * D, j0:j1], g_hT,
+                (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )                                               # (Rb, nc, n)
+            dsT_j = (PT_j * (dPT_j - rT)).astype(cd)
+            # dt(k, n) += sum_m x(k, m) ds(m, n)   (m in chunk)
+            dtT = dtT + jax.lax.dot_general(
+                xT[:, :, j0:j1].astype(cd), dsT_j,
+                (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            # dx key side: dx(c, m) += sum_n t(c, n) ds(m, n)
+            dxk_chunks.append(jax.lax.dot_general(
+                tT, dsT_j, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ))                                              # (Rb, C, nc)
+        dxT = dxT + jnp.concatenate(dxk_chunks, axis=2)
+        dvT_parts.append(jnp.concatenate(dv_chunks, axis=2))
         # dx query side: dx(c, n) += sum_k A_h(c, k) dt(k, n)
         dxT = dxT + jax.lax.dot_general(
             jnp.broadcast_to(a_ref[h].astype(cd), (Rb, C, C)),
@@ -253,15 +275,33 @@ def _bwd_kernel(x_ref, a_ref, wv_ref, m_ref, d_ref, g_ref,
     dx_ref[:] = jnp.swapaxes(dxT, 1, 2).astype(dx_ref.dtype)
 
 
-def _bwd_impl(normed, a, wv, m, d, g, num_heads):
+def _pick_key_chunk(N: int, C: int) -> int:
+    """Largest sublane-aligned key chunk whose ~3.5 live (chunk, N)-f32
+    score planes plus the O(N*C) buffers stay inside the VMEM budget."""
+    fixed = 14 * N * _align128(C) * 4
+    avail = _VMEM_BUDGET - fixed
+    per_key = int(3.5 * _align128(N) * 4)
+    nc = max(8, (avail // max(per_key, 1)) // 8 * 8)
+    return min(N, nc)
+
+
+def _bwd_impl(normed, a, wv, m, d, out, g, num_heads):
     R, N, C = normed.shape
     dtype = normed.dtype
     H = num_heads
-    Rb = _row_block(N, C, dtype, n_planes=3)
+    key_chunk = _pick_key_chunk(N, C)
+    # rows per grid cell, given planes of (key_chunk, N)
+    per_row = (int(3.5 * key_chunk * _align128(N)) * 4
+               + 14 * N * _align128(C) * 4)
+    Rb = max(1, min(16, _VMEM_BUDGET // max(per_row, 1)))
+    sublane = 16 if dtype == jnp.bfloat16 else 8
+    if N % sublane != 0:
+        Rb = 1
     pad = (-R) % Rb
     if pad:
         normed = jnp.pad(normed, ((0, pad), (0, 0), (0, 0)))
         g = jnp.pad(g, ((0, pad), (0, 0), (0, 0)))
+        out = jnp.pad(out, ((0, pad), (0, 0), (0, 0)))
         m = jnp.pad(m, ((0, pad), (0, 0), (0, 0)))
         # denom 1.0 on padded rows: keeps reciprocal finite; P on padded
         # rows multiplies zero gradients, so the contribution is zero.
@@ -273,7 +313,7 @@ def _bwd_impl(normed, a, wv, m, d, g, num_heads):
         return pl.BlockSpec(shape, lambda i: (0,) * nd, memory_space=pltpu.VMEM)
 
     dx, da, dwv = pl.pallas_call(
-        functools.partial(_bwd_kernel, num_heads=H),
+        functools.partial(_bwd_kernel, num_heads=H, key_chunk=key_chunk),
         grid=(Rp // Rb,),
         interpret=default_interpret(),
         in_specs=[
@@ -283,6 +323,8 @@ def _bwd_impl(normed, a, wv, m, d, g, num_heads):
             pl.BlockSpec((Rb, H, N), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((Rb, H, N), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Rb, N, C), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((Rb, N, C), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -303,7 +345,8 @@ def _bwd_impl(normed, a, wv, m, d, g, num_heads):
             bytes_accessed=Rp * N * C * 2 * 4,
             transcendentals=Rp * num_heads * N * N,
         ),
-    )(normed, a.astype(dtype), wv.astype(dtype), m, d, g.astype(dtype))
+    )(normed, a.astype(dtype), wv.astype(dtype), m, d,
+      out.astype(dtype), g.astype(dtype))
     return dx[:R] if pad else dx, da, dwv
 
 
@@ -322,12 +365,12 @@ def bilinear_attention(normed, a, wv, num_heads):
 
 def _vjp_fwd(normed, a, wv, num_heads):
     out, m, d = _fwd_impl(normed, a, wv, num_heads)
-    return out, (normed, a, wv, m, d)
+    return out, (normed, a, wv, m, d, out)
 
 
 def _vjp_bwd(num_heads, residuals, g):
-    normed, a, wv, m, d = residuals
-    dx, da, dwv = _bwd_impl(normed, a, wv, m, d, g, num_heads)
+    normed, a, wv, m, d, out = residuals
+    dx, da, dwv = _bwd_impl(normed, a, wv, m, d, out, g, num_heads)
     return dx, da.astype(a.dtype), dwv.astype(wv.dtype)
 
 
