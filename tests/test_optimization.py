@@ -123,3 +123,48 @@ def test_export_model_info(model_and_vars, tmp_path):
     assert os.path.isfile(path)
     assert info["num_parameters"] == TFSWAUNet.count_parameters(variables["params"])
     assert "stem_conv" in info["modules"]
+
+
+def test_fold_batch_norms_exact(model_and_vars):
+    """BN folding (optimize_for_inference) must be output-exact: the folded
+    convs + identity BNs reproduce the eval-mode forward.  Perturbed BN
+    stats make the test meaningful (init stats are already 0/1)."""
+    from tfswa_tpu.optimization.export import fold_batch_norms, optimize_for_inference
+
+    model, variables = model_and_vars
+    rng = np.random.default_rng(0)
+    # randomize batch_stats + BN affine so folding has real work to do
+    def perturb(path, leaf):
+        name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+        arr = np.asarray(leaf)
+        if name == "var":
+            return jnp.asarray(rng.uniform(0.5, 2.0, arr.shape), jnp.float32)
+        if name == "mean":
+            return jnp.asarray(rng.standard_normal(arr.shape) * 0.3, jnp.float32)
+        return leaf
+    variables = {
+        "params": variables["params"],
+        "batch_stats": jax.tree_util.tree_map_with_path(
+            perturb, variables["batch_stats"]),
+    }
+    x = jnp.asarray(rng.standard_normal(SHAPE), jnp.float32)
+    want = model.apply(variables, x, train=False)
+
+    folded = fold_batch_norms(variables)
+    got = model.apply(folded, x, train=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-5)
+
+    # every BN is now an exact identity
+    for leaf_path, leaf in jax.tree_util.tree_leaves_with_path(
+            folded["batch_stats"]):
+        name = leaf_path[-1].key
+        val = np.asarray(leaf)
+        if name == "mean":
+            assert np.allclose(val, 0.0)
+        if name == "var":
+            assert np.allclose(val, 1.0)
+
+    fwd, folded2 = optimize_for_inference(model, variables)
+    np.testing.assert_allclose(np.asarray(fwd(x)), np.asarray(want),
+                               atol=2e-5, rtol=1e-5)

@@ -90,11 +90,82 @@ def aot_compile(
     return lowered.compile()
 
 
+def fold_batch_norms(variables: Dict) -> Dict:
+    """Fold every eval-mode BatchNorm into its preceding conv, exactly.
+
+    For y = BN(conv(x; W, b)) with per-channel scale s = gamma/sqrt(var+eps):
+    W' = W * s (out-channel axis, the last kernel axis for both nn.Conv and
+    ConvTranspose2d here), b' = (b - mean) * s + beta, and the BN variables
+    become an exact identity (mean 0, var 1, gamma sqrt(1+eps), beta 0).
+    Conv<->BN pairing follows the model's naming convention:
+    ``X_bn`` pairs with ``X_conv`` (head_bn with head_conv1), and a bare
+    ``bn`` pairs with its module's single conv/deconv.
+
+    Inference-only (training BN uses batch statistics).  Removes one
+    elementwise normalisation pass per conv before XLA even sees the graph.
+    """
+    import copy
+
+    eps = 1e-5
+    params = copy.deepcopy(jax.device_get(variables["params"]))
+    stats = copy.deepcopy(jax.device_get(variables["batch_stats"]))
+
+    def conv_key(parent_params: Dict, bn_name: str) -> Optional[str]:
+        if bn_name == "bn":
+            for cand in ("conv", "deconv"):
+                if cand in parent_params:
+                    return cand
+            return None
+        base = bn_name[: -len("_bn")]
+        for cand in (base + "_conv", base + "_conv1", base + "_deconv"):
+            if cand in parent_params:
+                return cand
+        return None
+
+    def walk(p_node: Dict, s_node: Dict):
+        for name, s_child in list(s_node.items()):
+            if not isinstance(s_child, dict):
+                continue
+            if "mean" in s_child and "var" in s_child:
+                ck = conv_key(p_node, name)
+                bn_p = p_node.get(name, {})
+                if ck is None or "scale" not in bn_p \
+                        or "bias" not in p_node[ck]:
+                    continue  # unknown pairing / bias-free conv: keep BN
+                mean = np.asarray(s_child["mean"], np.float64)
+                var = np.asarray(s_child["var"], np.float64)
+                gamma = np.asarray(bn_p["scale"], np.float64)
+                beta = np.asarray(bn_p["bias"], np.float64)
+                s = gamma / np.sqrt(var + eps)
+                conv = p_node[ck]
+                kernel = np.asarray(conv["kernel"], np.float64)
+                conv["kernel"] = (kernel * s).astype(np.float32)
+                bias = np.asarray(conv.get("bias", np.zeros_like(mean)),
+                                  np.float64)
+                conv["bias"] = ((bias - mean) * s + beta).astype(np.float32)
+                # BN -> exact identity
+                s_child["mean"] = np.zeros_like(mean, dtype=np.float32)
+                s_child["var"] = np.ones_like(var, dtype=np.float32)
+                bn_p["scale"] = np.full_like(
+                    gamma, np.sqrt(1.0 + eps), dtype=np.float32)
+                bn_p["bias"] = np.zeros_like(beta, dtype=np.float32)
+            elif name in p_node and isinstance(p_node[name], dict):
+                walk(p_node[name], s_child)
+
+    walk(params, stats)
+    out = dict(variables)
+    out["params"] = jax.tree_util.tree_map(jnp.asarray, params)
+    out["batch_stats"] = jax.tree_util.tree_map(jnp.asarray, stats)
+    return out
+
+
 def optimize_for_inference(model: TFSWAUNet, variables: Dict) -> Tuple[Callable, Dict]:
-    """Inference-ready closure: eval-mode BN (frozen stats), params cast
-    decided by model dtype (reference: export.py:227-284 freezes BN +
-    requires_grad; XLA handles fusion)."""
-    return make_forward_fn(model, variables), variables
+    """Inference-ready closure (reference: export.py:227-284 freezes BN +
+    requires_grad and stubs fusion): here BN layers are FOLDED into their
+    convs exactly (fold_batch_norms), stats frozen, and the returned forward
+    closes over the folded variables (XLA fuses the rest)."""
+    folded = fold_batch_norms(variables)
+    return make_forward_fn(model, folded), folded
 
 
 def benchmark_model(
