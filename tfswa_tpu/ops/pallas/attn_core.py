@@ -379,13 +379,13 @@ bilinear_attention.defvjp(_vjp_fwd, _vjp_bwd)
 
 def pallas_bwd_profitable(R: int, N: int, C: int) -> bool:
     """Shape gate for the Pallas backward (measured, tools/bench_backward.py
-    on v5e): wins at the C=32 large-N encoder-0 row shapes (413 vs 593 ms);
-    loses where row blocks are VMEM-bound to Rb~1 with small matmuls
-    (N=512/C=64: 450 vs 87 ms; N=64 windows: 350 vs 131 ms), and N>960
-    exceeds VMEM for the 3 live f32 score planes (remote-compile OOM).
+    on v5e, KV-chunked transposed kernel): wins at the C=32 large-N
+    encoder-0 row shapes (enc0 TSA N=1025: 394 vs 757 ms; enc0 FSA N=862:
+    414 vs 601 ms); loses where VMEM bounds Rb to ~1 with small per-cell
+    matmuls (N=512/C=64: 344 vs 90 ms; N=64 windows: 362 vs 127 ms).
     Outside the winning region the custom VJP rematerialises through the
     chunked-XLA path instead."""
-    return C <= 32 and 640 <= N <= 960
+    return C <= 32 and N >= 640
 
 
 def mha_rows_pallas(rows_normed, qkv_kernel, proj_kernel, proj_bias,

@@ -22,7 +22,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tfswa_tpu.ops.pallas.fused_block import _xla_block, fused_row_block
+from tfswa_tpu.ops.pallas.fused_block import (
+    _pallas_block, _xla_block, fused_row_block)
 from tools.bench_block import make_params
 
 SHAPES = [
@@ -59,12 +60,18 @@ def main():
         line = f"{label:10s} R={R:5d} N={N:4d} C={C:3d}"
 
         def loss_pallas(r, pp):
+            # _pallas_block directly: Pallas attn_core fwd+bwd regardless of
+            # the production shape gate (this bench MEASURES the gate)
+            return jnp.sum(_pallas_block(r, pp, H).astype(jnp.float32) ** 2)
+
+        def loss_gated(r, pp):
             return jnp.sum(fused_row_block(r, pp, H).astype(jnp.float32) ** 2)
 
         def loss_xla(r, pp):
             return jnp.sum(_xla_block(r, pp, H).astype(jnp.float32) ** 2)
 
-        for name, loss in (("pallas", loss_pallas), ("xla", loss_xla)):
+        for name, loss in (("pallas", loss_pallas), ("gated", loss_gated),
+                           ("xla", loss_xla)):
             if name not in args.impls:
                 continue
             try:
