@@ -117,8 +117,14 @@ def _fused_block_kernel(
             normed, t, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )                                                   # (Rb, Nm, Nn) f32
-        mx = jnp.max(sT, axis=1, keepdims=True)             # over keys m
-        pT = jnp.exp(sT - mx).astype(cd)                    # <= 1, safe in cd
+        # Max-free exp2 softmax (A_h carries log2(e), see _fused_block_impl):
+        # the shift cancels in the normalisation, and bf16/f32 relative
+        # precision is scale-invariant, so values match the shifted form to
+        # fp rounding.  Finite as long as |scores| < ~88 (trained scores are
+        # O(20); overflow would need exp2 args beyond +-127).  Skipping the
+        # cross-sublane max + subtract is worth ~20% kernel time (measured,
+        # tools/ablation_avt.py).
+        pT = jnp.exp2(sT).astype(cd)
         v_hT = jnp.concatenate(
             [vT[:, h * D:(h + 1) * D, :], ones_row], axis=1
         )                                                   # (Rb, D+1, Nm)
@@ -182,6 +188,7 @@ def _fused_block_impl(rows, p, num_heads: int):
     Rp = R + pad
 
     a, wv = _bilinear_weights(p.qkv_kernel, num_heads)
+    a = a * 1.4426950408889634          # log2(e): kernel softmax uses exp2
     H = num_heads
 
     def bcast(shape):
