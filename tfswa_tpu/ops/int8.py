@@ -150,10 +150,31 @@ def int8_row_block(
     sc = act_scales or {}
     dtype = rows.dtype
     normed = _layer_norm(rows, p.norm1_scale, p.norm1_bias)
-    attn, used = int8_mha_rows(
-        normed.astype(jnp.float32), p.qkv_kernel, p.proj_kernel, p.proj_bias,
-        num_heads, act_scales=sc,
-    )
+    # Row-chunked attention (same memory tactic as the XLA path,
+    # models/attention.py row chunking): bounds in-flight (chunk, H, N, N)
+    # probs, which at full spectrogram resolution would be tens of GB.
+    R, N, C = normed.shape
+    chunk = max(1, min(R, (32 * 1024 * 1024)
+                       // max(num_heads * N * N * 4, 1)))
+    nf = normed.astype(jnp.float32)
+    if R > chunk:
+        pad = (-R) % chunk
+        padded = jnp.pad(nf, ((0, pad), (0, 0), (0, 0)))
+        chunks = padded.reshape(-1, chunk, N, C)
+        attn_c, used_c = jax.lax.map(
+            lambda ck: int8_mha_rows(
+                ck, p.qkv_kernel, p.proj_kernel, p.proj_bias,
+                num_heads, act_scales=sc,
+            ),
+            chunks,
+        )
+        attn = attn_c.reshape(-1, N, C)[:R]
+        used = {k: jnp.max(v) for k, v in used_c.items()}
+    else:
+        attn, used = int8_mha_rows(
+            nf, p.qkv_kernel, p.proj_kernel, p.proj_bias,
+            num_heads, act_scales=sc,
+        )
     rows = rows + attn.astype(dtype)
     h = _layer_norm(rows, p.norm2_scale, p.norm2_bias)
     h, used["fc1"] = int8_dense(h.astype(jnp.float32), p.fc1_kernel,

@@ -379,13 +379,15 @@ bilinear_attention.defvjp(_vjp_fwd, _vjp_bwd)
 
 def pallas_bwd_profitable(R: int, N: int, C: int) -> bool:
     """Shape gate for the Pallas backward (measured, tools/bench_backward.py
-    on v5e, KV-chunked transposed kernel): wins at the C=32 large-N
-    encoder-0 row shapes (enc0 TSA N=1025: 394 vs 757 ms; enc0 FSA N=862:
-    414 vs 601 ms); loses where VMEM bounds Rb to ~1 with small per-cell
-    matmuls (N=512/C=64: 344 vs 90 ms; N=64 windows: 362 vs 127 ms).
-    Outside the winning region the custom VJP rematerialises through the
-    chunked-XLA path instead."""
-    return C <= 32 and N >= 640
+    on v5e).  Against the round-1 fixed-chunk-16 XLA VJP the KV-chunked
+    Pallas backward won 1.5-1.9x at the C=32 encoder-0 shapes — but the
+    memory-targeted effective chunk (models/attention._effective_chunk,
+    chunk=1 at full resolution) made the XLA VJP 4-5x faster still
+    (enc0 TSA: 146 ms vs 394 Pallas vs 757 chunk-16 XLA; enc1 TSA: 38 ms).
+    The XLA path now wins at every model shape, so the gate is closed; the
+    kernel remains for shapes/hardware where recompute-in-VMEM pays again.
+    """
+    return False
 
 
 def mha_rows_pallas(rows_normed, qkv_kernel, proj_kernel, proj_bias,

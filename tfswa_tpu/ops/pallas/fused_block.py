@@ -235,14 +235,17 @@ def _fused_block_impl(rows, p, num_heads: int):
 def _xla_block(rows, p, num_heads: int, chunk: int = 16):
     """Chunked-XLA computation of the same block (used for backward remat).
 
-    Matches models/attention.row_transformer_block's XLA branch exactly.
+    Matches models/attention.row_transformer_block's XLA branch exactly,
+    including the memory-targeted effective chunk (chunk=1 at full
+    resolution: 4.5x less HBM traffic than the reference's fixed 16).
     """
-    from ...models.attention import _layer_norm, mha_rows
+    from ...models.attention import _effective_chunk, _layer_norm, mha_rows
     from ...models.layers import gelu
 
     dtype = rows.dtype
     normed = _layer_norm(rows, p.norm1_scale, p.norm1_bias)
     R = rows.shape[0]
+    chunk = _effective_chunk(chunk, rows.shape[1], num_heads)
     if R <= chunk:
         attn = mha_rows(normed, p.qkv_kernel, p.proj_kernel, p.proj_bias,
                         num_heads)
