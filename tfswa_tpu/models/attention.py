@@ -124,6 +124,20 @@ def mha_rows(
     return out + proj_bias.astype(dtype)
 
 
+def _pallas_fwd_profitable(N: int, C: int) -> bool:
+    """Forward routing gate for the fused Pallas block kernel (measured on
+    v5e vs the memory-targeted chunked-XLA path): Pallas wins at
+    full-resolution N (60 vs 113 ms at N=1025/C=32, 55 vs 75 at N=517), at
+    SWA windows (16 vs 18 at N=64) and the bottleneck (11.1 vs 13.6 at
+    C=256), and ties at N=512/C=64 across row counts.  The one measured
+    XLA-favoured region is mid-N odd rows at small C, e.g. FSA at short
+    segments (23.5 vs 21 ms at N=259/C=32, 25 vs 19 at C=64): there row
+    blocks are VMEM-bound to Rb=1 with thousands of small grid cells.  At
+    C=128 the same N band measures better on Pallas at inference batch
+    sizes (bench.py A/B), so the exception stops at C<=64."""
+    return not (128 < N < 300 and C <= 64)
+
+
 def _effective_chunk(chunk_size: int, N: int, num_heads: int) -> int:
     """Row-chunk size targeting ~32 MB of in-flight probs.  Materialised
     (chunk, H, N, N) score planes are pure HBM traffic; measured on v5e,
@@ -156,9 +170,11 @@ def row_transformer_block(
     dtype = rows.dtype
     use_dropout = dropout_rate > 0.0 and dropout_rng is not None
 
-    if attention_impl == "pallas" and mask is None and not use_dropout:
+    if attention_impl == "pallas" and mask is None and not use_dropout \
+            and _pallas_fwd_profitable(rows.shape[1], rows.shape[2]):
         # Whole block in one fused Pallas kernel: LN1 -> attention ->
         # +residual -> LN2 -> MLP -> +residual, no HBM round trips between.
+        # Shapes where the chunked-XLA path measures faster fall through.
         from ..ops.pallas.fused_block import fused_row_block
 
         return fused_row_block(rows, p, num_heads)
