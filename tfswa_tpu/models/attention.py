@@ -467,6 +467,10 @@ class ShiftedWindowAttention(nn.Module, _RowBlockMixin):
         if self.attention_impl == "int8" and mask is None:
             windows = self._int8_block(windows, p)
         else:
+            # NOTE: with use_shift_mask=True the int8 serving path falls
+            # back to float compute — the int8 kernel has no masked-score
+            # variant.  The parity default (use_shift_mask=False, matching
+            # the reference's unused mask) always takes the int8 path.
             windows = row_transformer_block(
                 windows, p, self.num_heads, chunk_size=swa_chunk,
                 attention_impl=self.attention_impl, mask=mask,

@@ -7,18 +7,28 @@ between LN / attention / MLP as separate XLA ops.  At stage-1 shapes each
 (B, 1025, 862, 32) activation tensor is ~57 MB/bf16-batch-item, so every
 fused boundary removes two HBM passes plus XLA dispatch.
 
-Attention core is the bilinear per-head form of row_attention.py
-(scores_h = x A_h x^T with A_h = Wq_h Wk_h^T / sqrt(D)) with two changes:
-  - softmax is computed as exp(s - max) with the 1/sum normalisation folded
-    into a rank-1 scale AFTER the AV matmul (flash-style): N multiplies per
-    row instead of N^2, and the unnormalised probs (<= 1, no overflow) feed
-    the MXU directly in compute dtype;
+Attention core (round-3 "rank-D pipelined" form, measured fastest across
+all model shapes on v5e — tools/kernel_lab.py):
+  - scores come from the FACTORED form s_h = (x Wq_h)(x Wk_h)^T / sqrt(D):
+    Q and K are projected ONCE with two lane-dense (C, C) matmuls, and each
+    head's score matmul contracts a lane-masked K against Q — this replaces
+    the 8 per-head x @ A_h "t" matmuls of the bilinear form (A_h = Wq_h
+    Wk_h^T) with 2 matmuls + 8 trivial VPU masks;
+  - the head loop is software-pipelined: head h+1's score matmul (MXU) is
+    emitted before head h's exp2 (VPU) so the units overlap;
+  - softmax is max-free exp2 (Wq carries log2(e)/sqrt(D)), with scores
+    clamped at SCORE_CLAMP so a pathological score spike saturates instead
+    of overflowing exp2 to inf/NaN (the shift-free form is exact in exact
+    arithmetic; bf16/f32 relative precision is scale-invariant);
+  - the softmax denominator rides the AV matmul as an appended ones row
+    (transposed-AV layout: keys on sublanes, queries on lanes, each head's
+    AV produces only its own D+1 sublane rows);
   - the LN1 result never leaves VMEM, so the attention input load is free.
 
-Backward: custom VJP over the composed block — LN/MLP gradients by XLA
-autodiff, the N^2 attention core through attn_core.py's fused Pallas
-backward kernel (flash-style in-kernel score recomputation).  Values match
-the XLA path by the equivalence tests in tests/test_fused_block.py.
+Backward: custom VJP over the composed block — the chunked-XLA remat path
+(_xla_block), whose memory-targeted effective chunk measured fastest at
+every model shape (BENCH.md round 2).  Values match the XLA path by the
+equivalence tests in tests/test_fused_block.py.
 """
 from __future__ import annotations
 
@@ -33,6 +43,12 @@ from jax.experimental.pallas import tpu as pltpu
 from ._compat import default_interpret
 
 _VMEM_BUDGET = 11 * 1024 * 1024
+
+# Max-free exp2 softmax overflow guard, in log2 units: exp2(110) * N stays
+# below f32 max for N <= 2^17 keys, so denominators never overflow either.
+# Natural-unit scores up to ~76 pass through exactly (trained scores are
+# O(20)); beyond that the softmax saturates instead of going NaN.
+SCORE_CLAMP = 110.0
 
 
 def _align128(n: int) -> int:
@@ -72,7 +88,7 @@ def _erf(x):
 
 
 def _fused_block_kernel(
-    x_ref, ln1s_ref, ln1b_ref, a_ref, wv_ref, wo_ref, ob_ref,
+    x_ref, ln1s_ref, ln1b_ref, wq_ref, wk_ref, wv_ref, wo_ref, ob_ref,
     ln2s_ref, ln2b_ref, fc1_ref, f1b_ref, fc2_ref, f2b_ref,
     out_ref, *, num_heads: int,
 ):
@@ -90,41 +106,50 @@ def _fused_block_kernel(
     n1 = n1 * ln1s_ref[:].astype(jnp.float32) + ln1b_ref[:].astype(jnp.float32)
     normed = n1.astype(cd)
 
-    # --- attention: bilinear per-head flash, scores never leave VMEM ---
-    # Transposed-AV layout: scores are computed pre-transposed (keys m on
-    # sublanes, queries n on lanes), softmax reduces over sublanes, and each
-    # head's AV matmul produces only its OWN D+1 output rows
-    #   oeT_h = [v_h^T ; 1] @ P_h^T      -- (D+1, N) @ (N, N)
-    # with the small dim on SUBLANES (D+1=5 -> 8) instead of lanes
-    # (33 -> 128): 16x less executed AV volume than the lane-padded form.
-    # The appended ones row carries the softmax denominator out of the same
-    # matmul (flash trick).  Heads are Python-unrolled so the v_h slices are
-    # static.
+    # --- attention: rank-D factored flash, scores never leave VMEM ---
+    # Q/K/V are projected once with lane-dense (C, C) matmuls; wq arrives
+    # pre-scaled by log2(e)/sqrt(D) (see _fused_block_impl).  Per-head
+    # scores contract a lane-masked K against Q over the full C lanes —
+    # zeros outside head h's D lanes make the contraction per-head exact
+    # while keeping one static matmul shape for every head.
+    q = jax.lax.dot_general(
+        normed, wq_ref[:], (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(cd)                                            # (Rb, N, C)
+    k = jax.lax.dot_general(
+        normed, wk_ref[:], (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(cd)
     v = jax.lax.dot_general(
         normed, wv_ref[:], (((2,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).astype(cd)                                            # (Rb, N, C)
     vT = jnp.swapaxes(v, 1, 2)                              # (Rb, C, N)
     ones_row = jnp.ones((Rb, 1, N), cd)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (Rb, N, C), 2)
 
-    accT_parts = []
-    for h in range(H):
-        t = jax.lax.dot_general(
-            normed, a_ref[h], (((2,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(cd)                                        # (Rb, N, C)
-        sT = jax.lax.dot_general(
-            normed, t, (((2,), (2,)), ((0,), (0,))),
+    def _scores(h):
+        # Transposed layout: keys m on sublanes, queries n on lanes; the
+        # softmax reduction and the AV contraction both run over sublanes.
+        kh = jnp.where((lane >= h * D) & (lane < (h + 1) * D), k, 0) \
+            .astype(cd)
+        return jax.lax.dot_general(
+            kh, q, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )                                                   # (Rb, Nm, Nn) f32
-        # Max-free exp2 softmax (A_h carries log2(e), see _fused_block_impl):
-        # the shift cancels in the normalisation, and bf16/f32 relative
-        # precision is scale-invariant, so values match the shifted form to
-        # fp rounding.  Finite as long as |scores| < ~88 (trained scores are
-        # O(20); overflow would need exp2 args beyond +-127).  Skipping the
-        # cross-sublane max + subtract is worth ~20% kernel time (measured,
-        # tools/ablation_avt.py).
-        pT = jnp.exp2(sT).astype(cd)
+
+    # Software-pipelined head loop: head h+1's score matmul (MXU) is
+    # emitted BEFORE head h's exp2 (VPU) so the VLIW scheduler can overlap
+    # the two units; VMEM holds two live (N, N) f32 planes (budgeted in
+    # _row_block).  The appended ones row carries the softmax denominator
+    # out of the AV matmul (flash trick); each head's transposed AV
+    # produces only its own D+1 SUBLANE rows (16x less executed AV volume
+    # than the lane-padded form).
+    accT_parts = []
+    sT = _scores(0)
+    for h in range(H):
+        sT_next = _scores(h + 1) if h + 1 < H else None
+        pT = jnp.exp2(jnp.minimum(sT, SCORE_CLAMP)).astype(cd)
         v_hT = jnp.concatenate(
             [vT[:, h * D:(h + 1) * D, :], ones_row], axis=1
         )                                                   # (Rb, D+1, Nm)
@@ -135,6 +160,7 @@ def _fused_block_kernel(
         denomT = oeT[:, D:D + 1, :]
         accT_parts.append(
             oeT[:, :D, :] * pl.reciprocal(denomT, approx=False))
+        sT = sT_next
     accT = jnp.concatenate(accT_parts, axis=1)              # (Rb, C, N)
     acc = jnp.swapaxes(accT, 1, 2)                          # (Rb, N, C)
     attn = jax.lax.dot_general(
@@ -187,9 +213,13 @@ def _fused_block_impl(rows, p, num_heads: int):
     padded = jnp.pad(rows, ((0, pad), (0, 0), (0, 0))) if pad else rows
     Rp = R + pad
 
-    a, wv = _bilinear_weights(p.qkv_kernel, num_heads)
-    a = a * 1.4426950408889634          # log2(e): kernel softmax uses exp2
     H = num_heads
+    D = C // H
+    # wq carries the softmax scale and the exp2 base change: log2(e)/sqrt(D)
+    wq = p.qkv_kernel[:, :C].astype(jnp.float32) \
+        * ((D ** -0.5) * 1.4426950408889634)
+    wk = p.qkv_kernel[:, C:2 * C]
+    wv = p.qkv_kernel[:, 2 * C:]
 
     def bcast(shape):
         nd = len(shape)
@@ -204,7 +234,7 @@ def _fused_block_impl(rows, p, num_heads: int):
             pl.BlockSpec((Rb, N, C), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             bcast((C,)), bcast((C,)),
-            bcast((H, C, C)),
+            bcast((C, C)), bcast((C, C)),
             bcast((C, C)), bcast((C, C)), bcast((C,)),
             bcast((C,)), bcast((C,)),
             bcast((C, hidden)), bcast((hidden,)),
@@ -222,7 +252,7 @@ def _fused_block_impl(rows, p, num_heads: int):
     )(
         padded,
         p.norm1_scale.astype(dtype), p.norm1_bias.astype(dtype),
-        a.astype(dtype),
+        wq.astype(dtype), wk.astype(dtype),
         wv.astype(dtype), p.proj_kernel.astype(dtype),
         p.proj_bias.astype(dtype),
         p.norm2_scale.astype(dtype), p.norm2_bias.astype(dtype),
@@ -271,31 +301,6 @@ def _xla_block(rows, p, num_heads: int, chunk: int = 16):
     return rows + h
 
 
-def _pallas_block(rows, p, num_heads: int):
-    """The same block with the attention core as a custom-VJP Pallas pair
-    (attn_core.bilinear_attention) and LN/MLP in XLA — the differentiable
-    composition used by fused_row_block's backward."""
-    from ...models.attention import _layer_norm
-    from .attn_core import mha_rows_pallas
-
-    dtype = rows.dtype
-    normed = _layer_norm(rows, p.norm1_scale, p.norm1_bias)
-    attn = mha_rows_pallas(
-        normed, p.qkv_kernel, p.proj_kernel.astype(dtype),
-        p.proj_bias.astype(dtype), num_heads,
-    )
-    rows = rows + attn
-    from ...models.layers import gelu
-
-    h = _layer_norm(rows, p.norm2_scale, p.norm2_bias)
-    h = jnp.einsum("rnc,ck->rnk", h, p.fc1_kernel.astype(dtype)) \
-        + p.fc1_bias.astype(dtype)
-    h = gelu(h)
-    h = jnp.einsum("rnk,kc->rnc", h, p.fc2_kernel.astype(dtype)) \
-        + p.fc2_bias.astype(dtype)
-    return rows + h
-
-
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def fused_row_block(rows, p, num_heads):
     """Full pre-LN transformer block over independent rows (R, N, C).
@@ -312,17 +317,12 @@ def _fwd(rows, p, num_heads):
 
 
 def _bwd(num_heads, residuals, g):
-    # Differentiate the composed block: LN/MLP gradients by XLA autodiff,
-    # the N^2 attention core through attn_core's fused Pallas backward
-    # (flash-style in-kernel score recomputation) where the shape gate says
-    # it wins, else the chunked-XLA remat path.  Values match either way
-    # (tests/test_fused_block.py).
-    from .attn_core import pallas_bwd_profitable
-
+    # Differentiate the composed block via the chunked-XLA remat path: the
+    # memory-targeted effective chunk (chunk=1 at full resolution) measured
+    # faster than a fused Pallas backward at every model shape (BENCH.md
+    # round 2), so the Pallas backward kernel was removed in round 3.
     rows, p = residuals
-    R, N, C = rows.shape
-    block = _pallas_block if pallas_bwd_profitable(R, N, C) else _xla_block
-    _, vjp = jax.vjp(lambda r, pp: block(r, pp, num_heads), rows, p)
+    _, vjp = jax.vjp(lambda r, pp: _xla_block(r, pp, num_heads), rows, p)
     return vjp(g)
 
 

@@ -10,9 +10,9 @@ of rows, runs the fused qkv matmul (MXU), the per-head attention (scores
 never leave VMEM), and the output projection, writing only the final
 (Rb, N, C) block back to HBM.
 
-Backward: a custom VJP through attn_core's fused Pallas backward kernel
-(in-kernel flash-style score recomputation); the out-projection gradient
-composes by XLA autodiff.  Equivalence: tests/test_pallas.py.
+Backward: a custom VJP that rematerializes through the chunked-XLA path
+(identical values; the memory-targeted chunking measured fastest at every
+model shape — BENCH.md round 2).  Equivalence: tests/test_pallas.py.
 
 Head count is static and small (<= 8), so the head loop is a Python unroll
 with static lane slices — no unaligned dynamic slicing on the lane dim.
@@ -256,15 +256,9 @@ def _fwd(rows, qkv_kernel, proj_kernel, proj_bias, num_heads):
 
 
 def _bwd(num_heads, residuals, g):
-    from .attn_core import mha_rows_pallas, pallas_bwd_profitable
-
     rows, qkv_kernel, proj_kernel, proj_bias = residuals
-    R, N, C = rows.shape
-    impl = (
-        mha_rows_pallas if pallas_bwd_profitable(R, N, C) else _xla_reference
-    )
     _, vjp = jax.vjp(
-        lambda r, wq, wp, b: impl(r, wq, wp, b, num_heads),
+        lambda r, wq, wp, b: _xla_reference(r, wq, wp, b, num_heads),
         rows, qkv_kernel, proj_kernel, proj_bias,
     )
     return vjp(g)

@@ -118,6 +118,17 @@ class Trainer:
         )
         self.steps_per_epoch = steps_per_epoch
 
+        if config.model.attention_impl == "int8":
+            # int8 is a serving path: gradients through the quantization
+            # rounding are zero, so the quantized matmuls' weights would
+            # silently never train (ADVICE.md round 2).
+            raise ValueError(
+                "attention_impl='int8' is inference-only — rounding has "
+                "zero gradient, so training would not learn.  Train with "
+                "'pallas' or 'xla' and quantize the result "
+                "(optimization/quantization.py)."
+            )
+
         if state is None or model is None:
             model, state = create_train_state(
                 config,
@@ -200,13 +211,17 @@ class Trainer:
         a real training knob rather than only a schedule input."""
         done = 0
         while done < self.steps_per_epoch:
+            yielded_this_pass = 0
             for batch in self._device_batches(self.train_loader):
                 yield batch
                 done += 1
+                yielded_this_pass += 1
                 if done >= self.steps_per_epoch:
                     return
-            if done == 0:
-                return                                     # empty loader
+            if yielded_this_pass == 0:
+                # Empty loader OR a one-shot iterable exhausted on a prior
+                # pass — either way another pass cannot make progress.
+                return
 
     def train_epoch(self) -> Dict[str, float]:
         """(reference: trainer.py:120-257)"""
