@@ -134,7 +134,15 @@ def _pallas_fwd_profitable(N: int, C: int) -> bool:
     segments (23.5 vs 21 ms at N=259/C=32, 25 vs 19 at C=64): there row
     blocks are VMEM-bound to Rb=1 with thousands of small grid cells.  At
     C=128 the same N band measures better on Pallas at inference batch
-    sizes (bench.py A/B), so the exception stops at C<=64."""
+    sizes (bench.py A/B), so the exception stops at C<=64.
+
+    A per-chip measured route (ops/pallas/autotune.py, populated by
+    tools/autotune.py) overrides this v5e-measured heuristic."""
+    from ..ops.pallas import autotune
+
+    tuned = autotune.attention_route(N, C)
+    if tuned is not None:
+        return tuned == "pallas"
     return not (128 < N < 300 and C <= 64)
 
 

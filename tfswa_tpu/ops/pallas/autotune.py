@@ -1,0 +1,137 @@
+"""Measured routing decisions: per-chip, persisted, with safe fallbacks.
+
+Round-2 review flagged that the kernel routing gates (Pallas-vs-XLA
+attention route, fused-kernel row-block size) encoded one chip's
+measurements as Python constants — correct on the v5e they were measured
+on, silently wrong anywhere else.  This module replaces the constants
+with a three-level lookup:
+
+  1. a persisted per-device-kind cache (JSON under ``~/.cache/tfswa_tpu``
+     or ``$TFSWA_AUTOTUNE_DIR``), written by ``tools/autotune.py`` which
+     measures the candidates on whatever chip it runs on;
+  2. shipped measured defaults for known chips (currently TPU v5e);
+  3. the conservative analytic heuristics that existed before.
+
+Runtime code only ever READS (levels 1-3 in order) — measurement happens
+exclusively in the explicit ``tools/autotune.py`` sweep, so a user's
+first model call never blocks on a benchmark, and decisions stay
+deterministic under tracing.  Moving to a new chip needs no code edits:
+``python tools/autotune.py`` once, and the gates re-route from the new
+cache entries.
+
+The decisions routed through here:
+  - ``attention_route(N, C)``: fused-Pallas vs chunked-XLA block path
+    (consumed by models/attention.row_transformer_block).
+  - ``row_block(N, C)``: rows per Pallas grid cell for the fused block
+    kernel (consumed by ops/pallas/fused_block._row_block).  Measured
+    round 3 on v5e: the analytic VMEM bound is conservative at SWA
+    shapes — forcing Rb=48 at (N=64, C=32) runs 21% faster than the
+    estimate's Rb, and Rb=32 wins at (N=64, C=64).
+"""
+from __future__ import annotations
+
+import json
+import os
+import threading
+from pathlib import Path
+from typing import Dict, Optional
+
+_lock = threading.Lock()
+_cache: Optional[Dict] = None
+_device_kind: Optional[str] = None
+
+# Shipped measured defaults (tools/autotune.py output, committed).  Keys are
+# "<N>,<C>" for row_block and attention route; values as in the cache file.
+_SHIPPED: Dict[str, Dict[str, Dict[str, object]]] = {
+    "TPU v5 lite": {
+        "row_block": {
+            # kernel_lab4 --mode rb (v5e-1, bf16): 29.2 ms vs 37.0 auto
+            "64,32": 48,
+            # 10.9 ms vs 12.2 auto
+            "64,64": 32,
+        },
+        "attn_route": {},  # the analytic gate below matches v5e measurements
+    },
+}
+
+
+def _dir() -> Path:
+    env = os.environ.get("TFSWA_AUTOTUNE_DIR")
+    if env:
+        return Path(env)
+    return Path.home() / ".cache" / "tfswa_tpu"
+
+
+def _path() -> Path:
+    return _dir() / "autotune.json"
+
+
+def device_kind() -> str:
+    """The current backend's device kind, e.g. 'TPU v5 lite' / 'cpu'."""
+    global _device_kind
+    if _device_kind is None:
+        try:
+            import jax
+
+            _device_kind = jax.devices()[0].device_kind
+        except Exception:  # backend not initialisable: stay on heuristics
+            _device_kind = "unknown"
+    return _device_kind
+
+
+def _load() -> Dict:
+    global _cache
+    with _lock:
+        if _cache is None:
+            try:
+                _cache = json.loads(_path().read_text())
+            except (OSError, ValueError):
+                _cache = {}
+        return _cache
+
+
+def reset() -> None:
+    """Drop the in-memory cache (tests; after writing a new file)."""
+    global _cache, _device_kind
+    with _lock:
+        _cache = None
+        _device_kind = None
+
+
+def lookup(table: str, key: str):
+    """Level-1/2 lookup: persisted cache, then shipped defaults.  None
+    means 'no measurement — use the analytic heuristic'."""
+    kind = device_kind()
+    hit = _load().get(kind, {}).get(table, {}).get(key)
+    if hit is not None:
+        return hit
+    return _SHIPPED.get(kind, {}).get(table, {}).get(key)
+
+
+def record(table: str, key: str, value, kind: Optional[str] = None) -> None:
+    """Persist one measured decision (tools/autotune.py only)."""
+    kind = kind or device_kind()
+    with _lock:
+        path = _path()
+        try:
+            data = json.loads(path.read_text())
+        except (OSError, ValueError):
+            data = {}
+        data.setdefault(kind, {}).setdefault(table, {})[key] = value
+        path.parent.mkdir(parents=True, exist_ok=True)
+        tmp = path.with_suffix(".tmp")
+        tmp.write_text(json.dumps(data, indent=1, sort_keys=True))
+        tmp.replace(path)
+    reset()
+
+
+def row_block(N: int, C: int) -> Optional[int]:
+    """Measured rows-per-grid-cell for the fused block kernel, or None."""
+    v = lookup("row_block", f"{N},{C}")
+    return int(v) if v is not None else None
+
+
+def attention_route(N: int, C: int) -> Optional[str]:
+    """Measured 'pallas' | 'xla' block route for this shape, or None."""
+    v = lookup("attn_route", f"{N},{C}")
+    return str(v) if v is not None else None
