@@ -121,14 +121,24 @@ class SourceSeparator:
                 ),
                 out_shardings=self._batch_sharding,
             )
-            if device_ola:
-                raise ValueError(
-                    "device_ola is single-device; use the host-OLA path "
-                    "(device_ola=False) with a mesh"
-                )
+            # device_ola composes with the mesh: the whole track rides one
+            # h2d, the segment batches inside the OLA lax.map are sharded
+            # over 'data' (a with_sharding_constraint in _device_ola_impl),
+            # and the stems ride one d2h — multi-chip serving keeps the
+            # single-transfer track path.
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            self._jit_device_ola = jax.jit(
+                self._device_ola_impl,
+                in_shardings=(
+                    variables_shardings(self.variables, mesh),
+                    NamedSharding(mesh, PartitionSpec()),
+                ),
+                out_shardings=NamedSharding(mesh, PartitionSpec()),
+            )
         else:
             self._jit_separate = jax.jit(self._separate_batch_impl)
-        self._jit_device_ola = jax.jit(self._device_ola_impl)
+            self._jit_device_ola = jax.jit(self._device_ola_impl)
 
     # --------------------------------------------------------------- core
     def _separate_batch_impl(self, variables, segments: jnp.ndarray) -> jnp.ndarray:
@@ -182,6 +192,17 @@ class SourceSeparator:
         if pad:
             segments = jnp.pad(segments, ((0, pad), (0, 0)))
         batches = segments.reshape(nb, bs, seg)
+        if self.mesh is not None:
+            # Each lax.map step's (bs, seg) segment batch is sharded over
+            # the 'data' mesh axis (bs is rounded to a multiple of it in
+            # __init__); GSPMD keeps the per-chip forward local and only
+            # the final OLA scatter gathers.
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            batches = jax.lax.with_sharding_constraint(
+                batches,
+                NamedSharding(self.mesh, PartitionSpec(None, "data", None)),
+            )
         outs = jax.lax.map(
             lambda s: self._separate_core(variables, s), batches
         )                                                    # (nb, bs, St, seg)
