@@ -74,12 +74,18 @@ class SourceSeparator:
         # separation noise floors); float32 is the parity default.
         self.transfer_dtype = np.dtype(transfer_dtype)
         # device_ola: run the ENTIRE overlap-add on device — one h2d of the
-        # mono track, one d2h of the stems.  Track lengths are bucketed to
-        # ola_bucket_seconds multiples to bound recompiles.  Off by default:
-        # the host path reproduces the reference's exact last-segment
-        # clamping (reference: inference.py:193-196); the device path uses a
-        # uniform zero-padded grid (same values except within the final
-        # partial hop).
+        # mono track, stems come back as per-window accumulations whose d2h
+        # overlaps the next window's compute.  Off by default: the host path
+        # reproduces the reference's exact last-segment clamping
+        # (reference: inference.py:193-196); the device path uses a uniform
+        # zero-padded grid (same values except within the final partial hop).
+        #
+        # The track is processed as fixed windows of ``ola_window_segments``
+        # consecutive segments (sized from ola_bucket_seconds), each one
+        # jitted call slicing the on-device track at a traced offset — ONE
+        # compile for every track length, and window k+1's compute hides
+        # window k's d2h behind it (the stems d2h is ~0.6 s of a 120 s
+        # track's budget on the 35 MB/s dev tunnel).
         self.device_ola = device_ola
         self.ola_bucket_samples = int(
             ola_bucket_seconds * stft_processor.sample_rate
@@ -88,6 +94,13 @@ class SourceSeparator:
         self.sample_rate = stft_processor.sample_rate
         self.segment_samples = int(segment_length * self.sample_rate)
         self.hop_samples = int(self.segment_samples * (1 - overlap))
+        # segments per device-OLA window, sized so a window spans roughly
+        # ola_bucket_seconds of audio
+        self.ola_window_segments = max(
+            1,
+            round((self.ola_bucket_samples - self.segment_samples)
+                  / max(self.hop_samples, 1)) + 1,
+        )
         self.n_stems = model.out_channels // 2
         # model input channels decide mono duplication:
         #   in_channels==2 -> mono [re, im]   (reference: inference.py:319-332)
@@ -128,13 +141,14 @@ class SourceSeparator:
             # single-transfer track path.
             from jax.sharding import NamedSharding, PartitionSpec
 
+            replicated = NamedSharding(mesh, PartitionSpec())
             self._jit_device_ola = jax.jit(
                 self._device_ola_impl,
                 in_shardings=(
                     variables_shardings(self.variables, mesh),
-                    NamedSharding(mesh, PartitionSpec()),
+                    replicated, replicated, replicated,
                 ),
-                out_shardings=NamedSharding(mesh, PartitionSpec()),
+                out_shardings=replicated,
             )
         else:
             self._jit_separate = jax.jit(self._separate_batch_impl)
@@ -176,58 +190,108 @@ class SourceSeparator:
             audio = jnp.mean(audio, axis=2)                 # mono out
         return audio                                        # (B, n_stems, S) f32
 
-    def _device_ola_impl(self, variables, track: jnp.ndarray) -> jnp.ndarray:
-        """Whole-track separation on device: frame -> lax.map over segment
-        batches -> Hann-windowed scatter-add OLA.  track: (S_bucket,) mono;
-        returns (n_stems, S_bucket)."""
-        S_bucket = track.shape[0]
-        seg, hop, bs = self.segment_samples, self.hop_samples, self.segment_batch
-        track = track.astype(jnp.float32)
-        n_seg = (S_bucket - seg) // hop + 1
-        idx = np.arange(n_seg)[:, None] * hop + np.arange(seg)[None, :]
-        segments = track[idx]                                # (n_seg, seg)
+    def _device_ola_impl(
+        self, variables, track: jnp.ndarray, off: jnp.ndarray,
+        n_valid: jnp.ndarray,
+    ) -> jnp.ndarray:
+        """One OLA window: ola_window_segments consecutive segments sliced
+        from the on-device track at traced offset ``off``, masked to the
+        first ``n_valid``; returns the UN-normalized Hann-weighted
+        accumulation (n_stems, W).  The traced offset means one compile
+        serves every track length; normalization happens on host (the norm
+        is analytic — no device traffic needed for it)."""
+        seg, hop = self.segment_samples, self.hop_samples
+        K = self.ola_window_segments
+        W = (K - 1) * hop + seg
+        window = jax.lax.dynamic_slice(
+            track, (off[0],), (W,)
+        ).astype(jnp.float32)
+        idx = np.arange(K)[:, None] * hop + np.arange(seg)[None, :]
+        segments = window[idx]                               # (K, seg)
 
-        nb = -(-n_seg // bs)
-        pad = nb * bs - n_seg
+        # Minimal-waste batch split: padded segments are fully-computed
+        # garbage (a whole wasted model forward each), so pick the largest
+        # batch size <= segment_batch with the least padding.
+        step = 1 if self.mesh is None else self.mesh.shape.get("data", 1)
+        bs = min(
+            range(step, max(self.segment_batch, step) + 1, step),
+            key=lambda b: ((-(-K // b)) * b - K, -b),
+        )
+        nb = -(-K // bs)
+        pad = nb * bs - K
         if pad:
             segments = jnp.pad(segments, ((0, pad), (0, 0)))
         batches = segments.reshape(nb, bs, seg)
         if self.mesh is not None:
-            # Each lax.map step's (bs, seg) segment batch is sharded over
-            # the 'data' mesh axis (bs is rounded to a multiple of it in
-            # __init__); GSPMD keeps the per-chip forward local and only
-            # the final OLA scatter gathers.
+            # Each (bs, seg) segment batch is sharded over the 'data' mesh
+            # axis; GSPMD keeps the per-chip forward local and only the
+            # final OLA scatter gathers.
             from jax.sharding import NamedSharding, PartitionSpec
 
             batches = jax.lax.with_sharding_constraint(
                 batches,
                 NamedSharding(self.mesh, PartitionSpec(None, "data", None)),
             )
-        outs = jax.lax.map(
-            lambda s: self._separate_core(variables, s), batches
-        )                                                    # (nb, bs, St, seg)
-        outs = outs.reshape(nb * bs, self.n_stems, seg)[:n_seg]
+        if nb == 1:
+            outs = self._separate_core(variables, batches[0])[None]
+        else:
+            outs = jax.lax.map(
+                lambda s: self._separate_core(variables, s), batches
+            )                                                # (nb, bs, St, seg)
+        outs = outs.reshape(nb * bs, self.n_stems, seg)[:K]
 
-        window = jnp.asarray(_hann(seg))
-        weighted = (outs * window[None, None, :]).transpose(1, 0, 2)
-        acc = jnp.zeros((self.n_stems, S_bucket), jnp.float32)
+        valid = (jnp.arange(K) < n_valid[0]).astype(jnp.float32)
+        hann = jnp.asarray(_hann(seg))
+        weighted = (
+            outs * (hann[None, None, :] * valid[:, None, None])
+        ).transpose(1, 0, 2)
+        acc = jnp.zeros((self.n_stems, W), jnp.float32)
         acc = acc.at[:, idx].add(weighted)
-        norm = jnp.zeros((S_bucket,), jnp.float32).at[idx].add(
-            jnp.broadcast_to(window, (n_seg, seg))
-        )
-        out = acc / jnp.maximum(norm, 1e-8)
-        return out.astype(jnp.dtype(self.transfer_dtype))
+        return acc.astype(jnp.dtype(self.transfer_dtype))
 
     def _separate_long_device(
         self, audio: np.ndarray, stems: List[str]
     ) -> Dict[str, np.ndarray]:
+        """Pipelined whole-track device OLA: all window calls are dispatched
+        before any result is fetched, so window k's (slow-tunnel) d2h rides
+        under window k+1's compute."""
         total = audio.shape[1]
-        bucket = max(self.ola_bucket_samples, self.segment_samples)
-        S_bucket = -(-total // bucket) * bucket
-        track = np.pad(audio[0], (0, S_bucket - total)).astype(self.transfer_dtype)
-        out = np.asarray(
-            self._jit_device_ola(self.variables, jnp.asarray(track))
-        ).astype(np.float32)[:, :total]
+        seg, hop = self.segment_samples, self.hop_samples
+        K = self.ola_window_segments
+        W = (K - 1) * hop + seg
+        # first uniform grid covering the whole track
+        n_seg = -(-max(total - seg, 0) // hop) + 1
+        n_win = -(-n_seg // K)
+        S_needed = (n_win * K - 1) * hop + seg
+        track = np.pad(audio[0], (0, S_needed - total)).astype(
+            self.transfer_dtype
+        )
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            track_dev = jax.device_put(
+                track, NamedSharding(self.mesh, PartitionSpec())
+            )
+        else:
+            track_dev = jnp.asarray(track)
+
+        handles = []
+        for w in range(n_win):
+            off = jnp.asarray([w * K * hop], jnp.int32)
+            nv = jnp.asarray([min(K, n_seg - w * K)], jnp.int32)
+            handles.append(
+                self._jit_device_ola(self.variables, track_dev, off, nv)
+            )
+        acc = np.zeros((self.n_stems, S_needed), np.float32)
+        for w, h in enumerate(handles):
+            o = w * K * hop
+            acc[:, o : o + W] += np.asarray(h).astype(np.float32)
+
+        hann = _hann(seg)
+        norm = np.zeros(S_needed, dtype=np.float32)
+        for i in range(n_seg):
+            norm[i * hop : i * hop + seg] += hann
+        out = acc[:, :total] / np.maximum(norm[:total], 1e-8)[None]
         return {name: out[i : i + 1] for i, name in enumerate(stems)}
 
     # ---------------------------------------------------------------- api
