@@ -31,6 +31,11 @@ class ModelConfig:
     num_heads: int = 8
     dropout: float = 0.0
     mlp_ratio: float = 4.0
+    # Correct Swin shift masking for the SWA branch.  False reproduces the
+    # reference quirk (mask computed but never applied,
+    # reference: attention.py:241-266); True enables the fix — see the
+    # quality A/B in runs/quality_ab.
+    use_shift_mask: bool = False
     # TPU-specific knobs (no reference equivalent):
     attention_impl: str = "xla"   # "xla" (chunked einsum) | "pallas" (flash kernels) | "int8" (quantized serving)
     attn_chunk_size: int = 16     # row-chunk for the XLA path (reference: attention.py:109)
@@ -101,6 +106,12 @@ class TrainConfig:
     use_mrstft_loss: bool = False   # reference train.py:243-248 disables it
     l1_weight: float = 1.0
     mrstft_weight: float = 0.5
+    # Training mask convention: "parity" reproduces the reference's double
+    # sigmoid (sigmoid of the already-sigmoided head magnitudes,
+    # reference: trainer.py:179-186 — caps masks to [0.5, 0.80]); "direct"
+    # uses the sigmoid head channels directly as [0, 1] magnitude masks,
+    # removing the cap (quality A/B: runs/quality_ab).
+    train_mask_mode: str = "parity"
     seed: int = 42
     log_every_n_steps: int = 50
     val_every_n_epochs: int = 1

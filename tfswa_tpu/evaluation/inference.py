@@ -184,6 +184,17 @@ class SourceSeparator:
                 out, jnp.abs(mono), jnp.angle(mono), self.n_stems
             )                                               # (B, n_stems, F, T)
             audio = self.stft_processor.istft(masked, length=S)
+        elif self.mask_mode == "mag_direct":
+            # single-sigmoid magnitude masks (train_mask_mode="direct"):
+            # head channels 0..n_stems-1 x mono magnitude, mixture phase
+            from ..ops.masking import apply_magnitude_masks
+
+            mono = jnp.mean(spec, axis=1)
+            pred_mags = apply_magnitude_masks(
+                out, jnp.abs(mono), self.n_stems, "direct"
+            )
+            masked = pred_mags * jnp.exp(1j * jnp.angle(mono)[:, None])
+            audio = self.stft_processor.istft(masked, length=S)
         else:  # direct
             masked = apply_direct_masks(out, spec, self.n_stems)  # (B, S, C, F, T)
             audio = self.stft_processor.istft(masked, length=S)

@@ -59,6 +59,7 @@ class TFSWAUNet(nn.Module):
             mlp_ratio=cfg.mlp_ratio,
             attn_chunk_size=cfg.attn_chunk_size,
             attention_impl=cfg.attention_impl,
+            use_shift_mask=cfg.use_shift_mask,
             remat=cfg.remat,
             dtype=jnp.dtype(cfg.dtype),
             param_dtype=jnp.dtype(cfg.param_dtype),

@@ -51,6 +51,26 @@ def trainer_masked_complex(
     return pred_mags * jnp.exp(1j * mixture_phase_mono[:, None])
 
 
+def apply_magnitude_masks(
+    model_output: jnp.ndarray,
+    mixture_mag_mono: jnp.ndarray,
+    n_stems: int,
+    convention: str = "parity",
+) -> jnp.ndarray:
+    """-> (B, n_stems, F, T) predicted mono magnitudes, by convention:
+
+      "parity": the reference's double sigmoid (apply_trainer_masks);
+      "direct": head channels 0..n_stems-1 (already sigmoid, [0, 1])
+        applied directly as magnitude masks — removes the parity
+        convention's [0.5, 0.80] mask cap (quality A/B: runs/quality_ab).
+    """
+    if convention == "parity":
+        return apply_trainer_masks(model_output, mixture_mag_mono, n_stems)
+    if convention == "direct":
+        return direct_masks(model_output, n_stems) * mixture_mag_mono[:, None]
+    raise ValueError(f"unknown mask convention: {convention!r}")
+
+
 def direct_masks(model_output: jnp.ndarray, n_stems: int) -> jnp.ndarray:
     """First n_stems head channels used directly as (real-valued) masks
     (reference: inference.py:137-145 indexes masks[:, i:i+1])."""

@@ -19,7 +19,7 @@ from flax import struct
 
 from ..config import Config
 from ..models import TFSWAUNet
-from ..ops.masking import apply_trainer_masks
+from ..ops.masking import apply_magnitude_masks
 from ..ops.stft import STFTProcessor
 from .losses import multi_resolution_stft_loss, source_separation_loss
 
@@ -111,13 +111,16 @@ def make_train_step(
     use_mrstft: bool = False,
     spec_augment=None,
     rng_seed: int = 0,
+    mask_mode: str = "parity",
 ) -> Callable:
     """Build the jitted train step.
 
     Pipeline parity with Trainer.train_epoch (reference: trainer.py:129-224):
     stereo STFT -> mono complex mean -> magnitude; model on stereo [re, im];
     per-stem sigmoid(|re,im|) masks on mono magnitude; L1 vs mono target
-    magnitudes; clip + AdamW + per-step schedule.
+    magnitudes; clip + AdamW + per-step schedule.  mask_mode="direct"
+    replaces the parity double-sigmoid mask with the sigmoid head channels
+    used directly (see ops/masking.apply_magnitude_masks).
 
     Per-step randomness (dropout, spec-augment) is derived from state.step
     via fold_in — deterministic, resume-stable, and no extra step argument.
@@ -148,7 +151,7 @@ def make_train_step(
                 model_input, train=True, mutable=["batch_stats"],
                 rngs={"dropout": dropout_key} if use_dropout else None,
             )
-            pred = apply_trainer_masks(out, mixture_mag, n_stems)
+            pred = apply_magnitude_masks(out, mixture_mag, n_stems, mask_mode)
             pred_mags = {k: pred[:, i] for i, k in enumerate(stems)}
             pred_audios = target_audios = None
             if use_mrstft:
@@ -181,6 +184,7 @@ def make_eval_step(
     stft_processor: STFTProcessor,
     stems: Tuple[str, ...],
     l1_weight: float = 1.0,
+    mask_mode: str = "parity",
 ) -> Callable:
     """Validation loss step (reference: trainer.py:453-523): same mask
     pipeline, eval-mode BN, no grads."""
@@ -198,7 +202,7 @@ def make_eval_step(
             {"params": state.params, "batch_stats": state.batch_stats},
             stft_processor.to_model_input(mixture_spec), train=False,
         )
-        pred = apply_trainer_masks(out, mixture_mag, n_stems)
+        pred = apply_magnitude_masks(out, mixture_mag, n_stems, mask_mode)
         pred_mags = {k: pred[:, i] for i, k in enumerate(stems)}
         loss_dict = source_separation_loss(
             pred_mags, target_mags, l1_weight=l1_weight, use_mrstft=False

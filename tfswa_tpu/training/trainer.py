@@ -154,11 +154,15 @@ class Trainer:
                 use_mrstft=config.train.use_mrstft_loss,
                 spec_augment=self.spec_aug,
                 rng_seed=config.train.seed + 2,
+                mask_mode=config.train.train_mask_mode,
             ),
             donate_argnums=(0,),
         )
         self._eval_step = jax.jit(
-            make_eval_step(model, self.stft_processor, self.stems)
+            make_eval_step(
+                model, self.stft_processor, self.stems,
+                mask_mode=config.train.train_mask_mode,
+            )
         )
         if self.audio_aug is not None or self.mixup is not None:
             self._augment = jax.jit(self._augment_impl)
@@ -293,13 +297,20 @@ class Trainer:
             "params": self.state.params, "batch_stats": self.state.batch_stats
         }
         if self._sdr_separator is None:
+            # separation convention follows the training mask mode so the
+            # SDR eval measures what was actually trained
+            sep_mode = (
+                "trainer"
+                if self.config.train.train_mask_mode == "parity"
+                else "mag_direct"
+            )
             self._sdr_separator = SourceSeparator(
                 self.model,
                 variables,
                 self.stft_processor,
                 segment_length=10.0,
                 overlap=0.5,
-                mask_mode="trainer",
+                mask_mode=sep_mode,
                 stem_names=self.stems,
             )
         else:
