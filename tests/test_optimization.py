@@ -55,6 +55,18 @@ def test_stablehlo_export_roundtrip(model_and_vars, tmp_path):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
 
+def test_savedmodel_export_roundtrip(model_and_vars, tmp_path):
+    """jax2tf SavedModel interchange: loadable by plain TF, output-exact."""
+    pytest.importorskip("tensorflow")
+    from tfswa_tpu.optimization.export import export_savedmodel
+
+    model, variables = model_and_vars
+    out_dir = str(tmp_path / "savedmodel")
+    info = export_savedmodel(model, variables, out_dir, input_shape=SHAPE)
+    assert info["max_abs_diff"] < 1e-4
+    assert os.path.exists(os.path.join(out_dir, "saved_model.pb"))
+
+
 def test_aot_compile(model_and_vars):
     model, variables = model_and_vars
     compiled = aot_compile(model, variables, SHAPE)

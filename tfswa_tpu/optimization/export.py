@@ -72,6 +72,50 @@ def export_stablehlo(
     return info
 
 
+def export_savedmodel(
+    model: TFSWAUNet,
+    variables: Dict,
+    output_dir: str,
+    input_shape: Tuple[int, ...] = (1, 2, 1025, 259),
+    verify: bool = True,
+) -> Dict:
+    """Export the eval-mode forward as a TensorFlow SavedModel via jax2tf.
+
+    Cross-framework interchange artifact (with export_stablehlo) standing in
+    for the reference's ONNX export (reference: export.py:17-139): a
+    SavedModel is loadable from TF Serving / TFLite converters / any TF
+    runtime without JAX installed.  Weights are embedded as constants
+    (tf.Variables of the closed-over params).
+    """
+    import tensorflow as tf
+    from jax.experimental import jax2tf
+
+    forward = make_forward_fn(model, variables)
+    tf_fn = tf.function(
+        jax2tf.convert(jax.jit(forward), with_gradient=False),
+        input_signature=[tf.TensorSpec(list(input_shape), tf.float32)],
+        autograph=False,
+    )
+    module = tf.Module()
+    module.serve = tf_fn
+    tf.saved_model.save(
+        module, output_dir,
+        signatures={"serving_default": tf_fn},
+    )
+
+    info = {"path": output_dir, "input_shape": list(input_shape)}
+    if verify:
+        reloaded = tf.saved_model.load(output_dir)
+        rng = np.random.default_rng(0)
+        probe = rng.standard_normal(input_shape).astype(np.float32)
+        ref_out = np.asarray(forward(jnp.asarray(probe)))
+        new_out = reloaded.serve(tf.constant(probe)).numpy()
+        diff = float(np.max(np.abs(ref_out - new_out)))
+        info["max_abs_diff"] = diff
+        assert diff < 1e-4, f"SavedModel verification failed: {diff}"
+    return info
+
+
 def load_stablehlo(path: str) -> Callable:
     from jax import export as jax_export
 
