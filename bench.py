@@ -47,7 +47,12 @@ def main() -> None:
         segment_length=10.0, overlap=0.25, mask_mode="trainer",
         stem_names=("vocals", "other"), segment_batch=8,
         transfer_dtype="float16",   # halve audio IO on the slow dev tunnel
-        device_ola=True,            # whole-track OLA on device: one h2d/d2h
+        device_ola=True,            # pipelined windowed OLA: one h2d, d2h
+                                    # of window k rides under window k+1's
+                                    # compute (measured A/B in
+                                    # tools/bench_ola_windows.py: 60 s
+                                    # windows, K=8 segments at batch 8)
+        ola_bucket_seconds=60.0,
     )
 
     track_seconds = 120.0

@@ -58,7 +58,7 @@ class SourceSeparator:
         segment_batch: int = 8,
         transfer_dtype: str = "float32",
         device_ola: bool = False,
-        ola_bucket_seconds: float = 30.0,
+        ola_bucket_seconds: float = 60.0,
         mesh=None,
     ):
         self.model = model
