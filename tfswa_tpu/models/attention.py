@@ -105,21 +105,34 @@ def mha_rows(
     D = C // H
     dtype = rows.dtype
     qkv = jnp.einsum("rnc,ck->rnk", rows, qkv_kernel.astype(dtype))
-    qkv = qkv.reshape(R, N, 3, H, D)
-    q = qkv[:, :, 0].transpose(0, 2, 1, 3)   # (R, H, N, D)
-    k = qkv[:, :, 1].transpose(0, 2, 1, 3)
-    v = qkv[:, :, 2].transpose(0, 2, 1, 3)
+    q, k, v = qkv[..., :C], qkv[..., C:2 * C], qkv[..., 2 * C:]  # (R, N, C)
+
+    # MXU-dense layout (same tricks as the fused Pallas kernel, in plain
+    # XLA, so jax.grad's transposed matmuls inherit dense shapes too —
+    # this path is the remat/backward workhorse):
+    #   - per-head scores contract the full C lanes against a lane-masked
+    #     K (zeros outside head h's D lanes keep the math per-head exact)
+    #     instead of contracting the tiny head_dim D=4;
+    #   - the AV product runs transposed, (D, N) @ (N, N): the N-sized
+    #     dims ride lanes/contraction, only D rides sublanes.
     scale = D ** -0.5
-    scores = jnp.einsum(
-        "rhnd,rhmd->rhnm", q, k, preferred_element_type=jnp.float32
-    ) * scale
+    lanes = jnp.arange(C)
+    head_mask = (
+        (lanes[None, :] // D) == jnp.arange(H)[:, None]
+    ).astype(dtype)                                      # (H, C)
+    kh = k[:, None] * head_mask[None, :, None, :]        # (R, H, N, C)
+    sT = jnp.einsum(
+        "rhmc,rnc->rhmn", kh, q * jnp.asarray(scale, dtype),
+        preferred_element_type=jnp.float32,
+    )                                                    # m=key, n=query
     if mask is not None:
-        scores = scores + mask
-    weights = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(dtype)
+        sT = sT + jnp.swapaxes(mask, -1, -2)
+    weights = jax.nn.softmax(sT.astype(jnp.float32), axis=-2).astype(dtype)
     if dropout_rate > 0.0 and dropout_rng is not None:
         weights = _dropout(weights, dropout_rate, dropout_rng)
-    out = jnp.einsum("rhnm,rhmd->rhnd", weights, v)
-    out = out.transpose(0, 2, 1, 3).reshape(R, N, C)
+    vT = v.reshape(R, N, H, D).transpose(0, 2, 3, 1)     # (R, H, D, m)
+    oT = jnp.einsum("rhdm,rhmn->rhdn", vT, weights)      # (R, H, D, n)
+    out = oT.transpose(0, 3, 1, 2).reshape(R, N, C)
     out = jnp.einsum("rnc,ck->rnk", out, proj_kernel.astype(dtype))
     return out + proj_bias.astype(dtype)
 

@@ -42,15 +42,33 @@ _device_kind: Optional[str] = None
 
 # Shipped measured defaults (tools/autotune.py output, committed).  Keys are
 # "<N>,<C>" for row_block and attention route; values as in the cache file.
+# This is the full tools/autotune.py sweep from runs/autotune/autotune.json
+# (v5e-1, bf16, all flagship stage shapes + the 3 s serving band): a machine
+# without a local cache gets the measured winners, not just the heuristics.
 _SHIPPED: Dict[str, Dict[str, Dict[str, object]]] = {
     "TPU v5 lite": {
         "row_block": {
-            # kernel_lab4 --mode rb (v5e-1, bf16): 29.2 ms vs 37.0 auto
-            "64,32": 48,
-            # 10.9 ms vs 12.2 auto
-            "64,64": 32,
+            "64,32": 64,      # vs 37.0 ms analytic pick (enc0 SWA)
+            "64,64": 16,      # (enc1 SWA)
+            "64,128": 16,
+            "64,256": 7,
+            "512,64": 1,
+            "256,128": 3,
+            "128,256": 8,     # analytic bound picks 3: 2.7x too cautious
         },
-        "attn_route": {},  # the analytic gate below matches v5e measurements
+        "attn_route": {
+            "1025,32": "pallas",
+            "862,32": "pallas",
+            "259,32": "pallas",
+            "512,64": "pallas",
+            "130,64": "pallas",
+            "64,32": "pallas",
+            "64,64": "pallas",
+            "64,128": "pallas",
+            "256,128": "xla",
+            "128,256": "xla",
+            "64,256": "xla",
+        },
     },
 }
 

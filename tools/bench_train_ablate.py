@@ -59,11 +59,15 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--seconds", type=float, default=6.0)
     ap.add_argument("--iters", type=int, default=6)
+    ap.add_argument("--no-remat", action="store_true",
+                    help="store block inputs instead of nn.remat: the fused "
+                         "kernel's custom VJP already recomputes internally, "
+                         "so nn.remat buys only the glue between blocks")
     args = ap.parse_args()
 
     cfg = Config()
     cfg.model.dtype = "bfloat16"
-    cfg.model.remat = "tfswa_block"
+    cfg.model.remat = not args.no_remat
     cfg.model.attention_impl = "pallas"
     cfg.data.segment_seconds = args.seconds
     cfg.train.use_mrstft = False
@@ -152,7 +156,10 @@ def main() -> None:
         results["full_ms"] - results["fwdbwd_ms"], 1
     )
     results["device"] = str(jax.devices()[0])
-    results["config"] = f"B={B} {args.seconds}s bf16 remat pallas"
+    results["config"] = (
+        f"B={B} {args.seconds}s bf16 "
+        f"{'remat' if cfg.model.remat else 'no-remat'} pallas"
+    )
     print(json.dumps(results))
 
 
