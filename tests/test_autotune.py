@@ -69,10 +69,10 @@ def test_unmeasured_falls_back_to_heuristics(tuned_dir):
 def test_shipped_defaults_for_v5e(tuned_dir, monkeypatch):
     # with no cache file at all, the shipped v5e measurements apply
     monkeypatch.setattr(autotune, "_device_kind", "TPU v5 lite")
-    assert autotune.row_block(64, 32) == 64
-    assert autotune.row_block(64, 64) == 16
+    assert autotune.row_block(64, 32) == 32
+    assert autotune.row_block(64, 64) == 64
     assert autotune.row_block(128, 256) == 8
-    assert autotune.attention_route(128, 256) == "xla"
+    assert autotune.attention_route(512, 64) == "xla"
     assert autotune.attention_route(1025, 32) == "pallas"
     # and a user cache entry wins over the shipped default
     autotune.record("row_block", "64,32", 16, kind="TPU v5 lite")

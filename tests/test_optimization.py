@@ -52,7 +52,10 @@ def test_stablehlo_export_roundtrip(model_and_vars, tmp_path):
     x = jnp.asarray(np.random.default_rng(0).standard_normal(SHAPE), jnp.float32)
     out = fn(x)
     ref = model.apply(variables, x, train=False)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+    # 1e-4: the exported module and the live jit can fuse/reassociate the
+    # attention einsums differently; sigmoid outputs in [0, 1] land within
+    # a few 1e-5 of each other (observed max 1.8e-5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
 
 
 def test_savedmodel_export_roundtrip(model_and_vars, tmp_path):

@@ -48,26 +48,26 @@ _device_kind: Optional[str] = None
 _SHIPPED: Dict[str, Dict[str, Dict[str, object]]] = {
     "TPU v5 lite": {
         "row_block": {
-            "64,32": 64,      # vs 37.0 ms analytic pick (enc0 SWA)
-            "64,64": 16,      # (enc1 SWA)
-            "64,128": 16,
-            "64,256": 7,
+            "64,32": 32,      # 12.6 vs 20.2 ms XLA (enc0 SWA)
+            "64,64": 64,      # 6.4 vs 15.2 (enc1 SWA)
+            "64,128": 16,     # 5.4 vs 6.3
+            "64,256": 8,      # 5.0 vs 5.7
             "512,64": 1,
-            "256,128": 3,
+            "256,128": 3,     # 5.5 vs 11.7
             "128,256": 8,     # analytic bound picks 3: 2.7x too cautious
         },
         "attn_route": {
-            "1025,32": "pallas",
-            "862,32": "pallas",
-            "259,32": "pallas",
-            "512,64": "pallas",
-            "130,64": "pallas",
+            "1025,32": "pallas",   # 23.7 vs 34.6 ms
+            "862,32": "pallas",    # 20.5 vs 30.9
+            "259,32": "pallas",    # 7.8 vs 12.6
+            "512,64": "xla",       # 8.7 vs 11.4 — the dense mha_rows
+            "130,64": "xla",       #   layout flipped these two to XLA
             "64,32": "pallas",
             "64,64": "pallas",
             "64,128": "pallas",
-            "256,128": "xla",
-            "128,256": "xla",
-            "64,256": "xla",
+            "256,128": "pallas",
+            "128,256": "pallas",
+            "64,256": "pallas",
         },
     },
 }

@@ -56,7 +56,7 @@ def _align128(n: int) -> int:
 
 
 def _row_block(N: int, C: int, mlp_hidden: int, dtype,
-               unroll: int = 1) -> int:
+               unroll: int = 1, n_outputs: int = 1) -> int:
     """Rows per grid cell.  The head loop keeps ~2*unroll live (N, N) f32
     planes (scores + probs per unrolled head); everything else is O(N*C).
     Rb > 1 additionally requires N sublane-aligned (Mosaic merges (Rb, N)
@@ -65,16 +65,21 @@ def _row_block(N: int, C: int, mlp_hidden: int, dtype,
     A measured per-chip override (ops/pallas/autotune.py) wins over the
     analytic VMEM bound — the bound is conservative at small N where lane
     padding dominates the estimate (measured: Rb=48 at N=64/C=32 runs 21%
-    faster than the bound's choice on v5e)."""
+    faster than the bound's choice on v5e).  The measurements are taken on
+    the single-output (inference) kernel; when the training path adds the
+    mid output (n_outputs=2, doubling the double-buffered output VMEM),
+    the tuned value is capped at the analytic bound, which stays safely
+    inside the scoped-VMEM limit."""
     sublane = 16 if dtype == jnp.bfloat16 else 8
     if N % sublane != 0:
         return 1
     from . import autotune
 
+    analytic = _analytic_row_block(N, C, mlp_hidden, unroll)
     tuned = autotune.row_block(N, C)
     if tuned is not None:
-        return tuned
-    return _analytic_row_block(N, C, mlp_hidden, unroll)
+        return min(tuned, analytic) if n_outputs > 1 else tuned
+    return analytic
 
 
 def _analytic_row_block(N: int, C: int, mlp_hidden: int,
@@ -106,7 +111,7 @@ def _erf(x):
 def _fused_block_kernel(
     x_ref, ln1s_ref, ln1b_ref, wq_ref, wk_ref, wv_ref, wo_ref, ob_ref,
     ln2s_ref, ln2b_ref, fc1_ref, f1b_ref, fc2_ref, f2b_ref,
-    out_ref, *, num_heads: int,
+    out_ref, mid_ref=None, *, num_heads: int,
 ):
     Rb, N, C = x_ref.shape
     H = num_heads
@@ -185,6 +190,11 @@ def _fused_block_kernel(
     ) + ob_ref[:].astype(jnp.float32)
 
     y = xf + attn                                           # residual 1 (f32)
+    if mid_ref is not None:
+        # post-attention intermediate, exported (training path only) so the
+        # backward can start the MLP half's VJP from it instead of
+        # recomputing the attention forward
+        mid_ref[:] = y.astype(mid_ref.dtype)
 
     # --- LN2 + MLP ---
     mean2 = jnp.mean(y, axis=-1, keepdims=True)
@@ -219,12 +229,16 @@ def _bilinear_weights(qkv_kernel, num_heads: int):
     return a, wv
 
 
-def _fused_block_impl(rows, p, num_heads: int):
-    """rows (R, N, C), p: RowBlockParams-like namedtuple of arrays."""
+def _fused_block_impl(rows, p, num_heads: int, with_mid: bool = False):
+    """rows (R, N, C), p: RowBlockParams-like namedtuple of arrays.
+
+    with_mid=True (training) additionally returns the post-attention
+    intermediate; the inference path keeps the single-output kernel the
+    Rb measurements were taken on."""
     R, N, C = rows.shape
     dtype = rows.dtype
     hidden = p.fc1_kernel.shape[1]
-    Rb = _row_block(N, C, hidden, dtype)
+    Rb = _row_block(N, C, hidden, dtype, n_outputs=2 if with_mid else 1)
     pad = (-R) % Rb
     padded = jnp.pad(rows, ((0, pad), (0, 0), (0, 0))) if pad else rows
     Rp = R + pad
@@ -241,8 +255,10 @@ def _fused_block_impl(rows, p, num_heads: int):
         nd = len(shape)
         return pl.BlockSpec(shape, lambda i: (0,) * nd, memory_space=pltpu.VMEM)
 
+    out_block = pl.BlockSpec((Rb, N, C), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
     kernel = functools.partial(_fused_block_kernel, num_heads=num_heads)
-    out = pl.pallas_call(
+    res = pl.pallas_call(
         kernel,
         grid=(Rp // Rb,),
         interpret=default_interpret(),
@@ -256,9 +272,11 @@ def _fused_block_impl(rows, p, num_heads: int):
             bcast((C, hidden)), bcast((hidden,)),
             bcast((hidden, C)), bcast((C,)),
         ],
-        out_specs=pl.BlockSpec((Rb, N, C), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Rp, N, C), dtype),
+        out_specs=(out_block, out_block) if with_mid else out_block,
+        out_shape=(
+            (jax.ShapeDtypeStruct((Rp, N, C), dtype),) * 2 if with_mid
+            else jax.ShapeDtypeStruct((Rp, N, C), dtype)
+        ),
         cost_estimate=pl.CostEstimate(
             flops=2 * Rp * N * (num_heads * (C * C + 2 * N * C)
                                 + 2 * C * C + 2 * C * hidden),
@@ -275,20 +293,22 @@ def _fused_block_impl(rows, p, num_heads: int):
         p.fc1_kernel.astype(dtype), p.fc1_bias.astype(dtype),
         p.fc2_kernel.astype(dtype), p.fc2_bias.astype(dtype),
     )
-    return out[:R] if pad else out
+    out, mid = res if with_mid else (res, None)
+    if pad:
+        out = out[:R]
+        mid = mid[:R] if with_mid else None
+    return (out, mid) if with_mid else out
 
 
-def _xla_block(rows, p, num_heads: int, chunk: int = 16):
-    """Chunked-XLA computation of the same block (used for backward remat).
+def _xla_attn_half(rows, p, num_heads: int, chunk: int = 16):
+    """rows + MHA(LN1(rows)) via the chunked-XLA path (backward remat).
 
     Matches models/attention.row_transformer_block's XLA branch exactly,
     including the memory-targeted effective chunk (chunk=1 at full
     resolution: 4.5x less HBM traffic than the reference's fixed 16).
     """
     from ...models.attention import _effective_chunk, _layer_norm, mha_rows
-    from ...models.layers import gelu
 
-    dtype = rows.dtype
     normed = _layer_norm(rows, p.norm1_scale, p.norm1_bias)
     R = rows.shape[0]
     chunk = _effective_chunk(chunk, rows.shape[1], num_heads)
@@ -307,7 +327,15 @@ def _xla_block(rows, p, num_heads: int, chunk: int = 16):
             chunks,
         )
         attn = attn.reshape(-1, *padded.shape[1:])[:R]
-    rows = rows + attn
+    return rows + attn
+
+
+def _xla_mlp_half(rows, p):
+    """rows + MLP(LN2(rows)) — the block's second half."""
+    from ...models.attention import _layer_norm
+    from ...models.layers import gelu
+
+    dtype = rows.dtype
     h = _layer_norm(rows, p.norm2_scale, p.norm2_bias)
     h = jnp.einsum("rnc,ck->rnk", h, p.fc1_kernel.astype(dtype)) \
         + p.fc1_bias.astype(dtype)
@@ -315,6 +343,12 @@ def _xla_block(rows, p, num_heads: int, chunk: int = 16):
     h = jnp.einsum("rnk,kc->rnc", h, p.fc2_kernel.astype(dtype)) \
         + p.fc2_bias.astype(dtype)
     return rows + h
+
+
+def _xla_block(rows, p, num_heads: int, chunk: int = 16):
+    """Chunked-XLA computation of the full block (forward equivalence
+    reference for tests; the backward differentiates the two halves)."""
+    return _xla_mlp_half(_xla_attn_half(rows, p, num_heads, chunk), p)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
@@ -328,8 +362,15 @@ def fused_row_block(rows, p, num_heads):
 
 
 def _fwd(rows, p, num_heads):
-    out = _fused_block_impl(rows, p, num_heads)
-    return out, (rows, p)
+    # The kernel exports the post-attention intermediate (mid) alongside the
+    # output: saving it lets the backward differentiate the MLP half from
+    # mid directly, so the expensive chunked attention forward runs ONCE in
+    # the backward (the jax.vjp primal pass) instead of twice.  Under
+    # nn.remat the residuals are not stored — the block forward (one Pallas
+    # call) is recomputed at backward time, which is still far cheaper than
+    # a second chunked-XLA attention pass.
+    out, mid = _fused_block_impl(rows, p, num_heads, with_mid=True)
+    return out, (rows, mid, p)
 
 
 def _bwd(num_heads, residuals, g):
@@ -337,9 +378,15 @@ def _bwd(num_heads, residuals, g):
     # memory-targeted effective chunk (chunk=1 at full resolution) measured
     # faster than a fused Pallas backward at every model shape (BENCH.md
     # round 2), so the Pallas backward kernel was removed in round 3.
-    rows, p = residuals
-    _, vjp = jax.vjp(lambda r, pp: _xla_block(r, pp, num_heads), rows, p)
-    return vjp(g)
+    rows, mid, p = residuals
+    _, mlp_vjp = jax.vjp(lambda m, pp: _xla_mlp_half(m, pp), mid, p)
+    d_mid, dp_mlp = mlp_vjp(g)
+    _, attn_vjp = jax.vjp(
+        lambda r, pp: _xla_attn_half(r, pp, num_heads), rows, p
+    )
+    d_rows, dp_attn = attn_vjp(d_mid)
+    dp = jax.tree_util.tree_map(jnp.add, dp_mlp, dp_attn)
+    return d_rows, dp
 
 
 fused_row_block.defvjp(_fwd, _bwd)
