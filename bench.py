@@ -10,16 +10,91 @@ Baseline: the reference paper separates 30 s of audio in 1.25 s on
 2x RTX 3090 => 24 audio-sec/sec (BASELINE.md "Paper inference time").
 vs_baseline = ours / 24.
 
-Prints ONE JSON line.
+Prints ONE JSON line — ALWAYS, even when the TPU backend is unreachable.
+The dev TPU is reached through a tunnel that has gone down mid-round
+before (round 3: the driver artifact was a raw 30-line traceback).  Runs
+are therefore supervised: a bounded subprocess probes the backend first
+(jax.devices() hangs indefinitely when the tunnel is down, so in-process
+timeouts cannot work), the benchmark itself runs under a watchdog
+subprocess, and every failure path emits structured JSON on stdout with
+exit code 0 so the driver artifact stays parseable.
 """
 from __future__ import annotations
 
 import json
+import os
+import subprocess
+import sys
 import time
 
 import numpy as np
 
 BASELINE_AUDIO_SEC_PER_SEC = 24.0  # paper: 30 s / 1.25 s on 2x RTX 3090
+
+_PROBE_TIMEOUT_S = 180          # trivial matmul normally completes in <15 s
+_PROBE_RETRY_DELAY_S = 60
+_RUN_TIMEOUT_S = 2400           # full bench incl. compile is ~3-4 min
+
+_PROBE_CODE = """
+import jax, jax.numpy as jnp
+d = jax.devices()
+x = jnp.ones((128, 128), jnp.bfloat16)
+(x @ x).block_until_ready()
+print("PROBE_OK", d[0].platform, flush=True)
+"""
+
+
+def _error(kind: str, detail: str = "") -> None:
+    print(json.dumps({
+        "metric": "separation_throughput",
+        "value": 0.0,
+        "unit": "audio_sec_per_sec_per_chip",
+        "vs_baseline": 0.0,
+        "error": kind,
+        "detail": detail[:400],
+    }))
+
+
+def _probe_backend() -> bool:
+    """One bounded attempt at reaching the device (subprocess: a dead
+    tunnel hangs jax.devices() forever, unkillable in-process)."""
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", _PROBE_CODE],
+            timeout=_PROBE_TIMEOUT_S, capture_output=True, text=True,
+        )
+        return r.returncode == 0 and "PROBE_OK" in r.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def supervise() -> None:
+    """Probe (with one retry), then run the benchmark under a watchdog."""
+    if not _probe_backend():
+        time.sleep(_PROBE_RETRY_DELAY_S)
+        if not _probe_backend():
+            _error("backend_unavailable",
+                   "device probe hung/failed twice (TPU tunnel down?)")
+            return
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--child"],
+            timeout=_RUN_TIMEOUT_S, capture_output=True, text=True,
+        )
+    except subprocess.TimeoutExpired:
+        _error("benchmark_timeout",
+               f"benchmark exceeded {_RUN_TIMEOUT_S}s (tunnel died mid-run?)")
+        return
+    for line in reversed(r.stdout.strip().splitlines()):
+        try:
+            parsed = json.loads(line)
+        except ValueError:
+            continue
+        if isinstance(parsed, dict) and "metric" in parsed:
+            print(line)
+            return
+    _error("benchmark_failed",
+           f"rc={r.returncode}; tail: {(r.stderr or r.stdout)[-300:]}")
 
 
 def main() -> None:
@@ -84,4 +159,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--child" in sys.argv:
+        main()
+    else:
+        supervise()

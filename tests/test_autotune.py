@@ -78,3 +78,37 @@ def test_shipped_defaults_for_v5e(tuned_dir, monkeypatch):
     autotune.record("row_block", "64,32", 16, kind="TPU v5 lite")
     monkeypatch.setattr(autotune, "_device_kind", "TPU v5 lite")
     assert autotune.row_block(64, 32) == 16
+
+
+def test_legacy_keys_only_serve_their_measured_config(tuned_dir):
+    """ADVICE round-3: a bf16/ratio-4/single-output measurement must not be
+    reused for f32, wider MLPs, or the two-output training kernel."""
+    autotune.record("row_block", "64,32", 48)     # legacy key
+    assert autotune.row_block(64, 32) == 48                        # bf16 4C
+    assert autotune.row_block(64, 32, "float32") is None           # dtype
+    assert autotune.row_block(64, 32, "bfloat16", 256) is None     # hidden
+    # two-output: legacy hit is served but the caller caps it analytically
+    assert autotune.row_block(64, 32, n_outputs=2) == 48
+    rb2 = _row_block(64, 32, 128, jnp.bfloat16, n_outputs=2)
+    assert rb2 <= max(48, _analytic_row_block(64, 32, 128))
+
+    # a fully-keyed two-output measurement is served uncapped
+    autotune.record("row_block", autotune.full_key(64, 32, "bfloat16",
+                                                   128, 2), 40)
+    assert _row_block(64, 32, 128, jnp.bfloat16, n_outputs=2) == 40
+
+    # routes: dtype-keyed entry wins over the legacy one for that dtype
+    autotune.record("attn_route", "512,64", "xla")
+    autotune.record("attn_route", "512,64,float32", "pallas")
+    assert autotune.attention_route(512, 64) == "xla"
+    assert autotune.attention_route(512, 64, "float32") == "pallas"
+
+
+def test_remove_and_provenance(tuned_dir):
+    autotune.record("row_block", "96,32", 8)
+    autotune.remove("row_block", "96,32")
+    assert autotune.row_block(96, 32) is None
+    autotune.remove("row_block", "never-there")  # no-op, no crash
+    autotune.record_provenance()
+    prov = autotune.lookup("_meta", "provenance")
+    assert set(prov) == {"device_kind", "commit", "date"}

@@ -33,8 +33,9 @@ class ModelConfig:
     mlp_ratio: float = 4.0
     # Correct Swin shift masking for the SWA branch.  False reproduces the
     # reference quirk (mask computed but never applied,
-    # reference: attention.py:241-266); True enables the fix — see the
-    # quality A/B in runs/quality_ab.
+    # reference: attention.py:241-266); True enables the fix.  Whether the
+    # fix beats the parity behaviour is measured by the quality A/B in
+    # runs/quality_ab (see its README for arm status).
     use_shift_mask: bool = False
     # TPU-specific knobs (no reference equivalent):
     attention_impl: str = "xla"   # "xla" (chunked einsum) | "pallas" (flash kernels) | "int8" (quantized serving)
@@ -110,7 +111,8 @@ class TrainConfig:
     # sigmoid (sigmoid of the already-sigmoided head magnitudes,
     # reference: trainer.py:179-186 — caps masks to [0.5, 0.80]); "direct"
     # uses the sigmoid head channels directly as [0, 1] magnitude masks,
-    # removing the cap (quality A/B: runs/quality_ab).
+    # removing the cap.  The two conventions are compared by the quality
+    # A/B in runs/quality_ab (see its README for arm status).
     train_mask_mode: str = "parity"
     seed: int = 42
     log_every_n_steps: int = 50

@@ -86,6 +86,25 @@ def _dropout(x: jnp.ndarray, rate: float, rng) -> jnp.ndarray:
     return jnp.where(mask, x / keep, 0).astype(x.dtype)
 
 
+def _pair_heads_profitable(N: int, C: int, num_heads: int) -> bool:
+    """Whether mha_rows pairs heads two-per-MXU-tile at this shape.
+
+    At small N (SWA windows: N = 64) each per-head score matmul
+    (N, C) @ (C, N) occupies one 128x128 MXU tile at N^2*C/128^3
+    utilization (6.25% at N=64, C=32); pairing two heads along both score
+    dims doubles it, and the paired AV contracts 2N = 128 full lanes.
+    Measured on v5e (BENCH.md round 4) before being made the default.
+    A per-chip autotune entry overrides."""
+    if 2 * N > 128 or num_heads % 2 or N % 8:
+        return False
+    from ..ops.pallas import autotune
+
+    tuned = autotune.lookup("mha_pair", f"{N},{C}")
+    if tuned is not None:
+        return bool(tuned)
+    return True
+
+
 def mha_rows(
     rows: jnp.ndarray,
     qkv_kernel: jnp.ndarray,
@@ -95,11 +114,15 @@ def mha_rows(
     mask: Optional[jnp.ndarray] = None,
     dropout_rate: float = 0.0,
     dropout_rng=None,
+    pair_heads: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Multi-head self-attention over rows (R, N, C) -> (R, N, C)
     (reference: attention.py:34-90).  mask, if given, is additive
     (R or 1, 1, N, N) applied to pre-softmax scores.  dropout, when active,
-    is applied to the post-softmax weights (reference: attention.py:81)."""
+    is applied to the post-softmax weights (reference: attention.py:81).
+
+    pair_heads (None = auto by shape/autotune) packs two heads per MXU
+    tile at small N — value-identical; see _pair_heads_profitable."""
     R, N, C = rows.shape
     H = num_heads
     D = C // H
@@ -121,23 +144,65 @@ def mha_rows(
         (lanes[None, :] // D) == jnp.arange(H)[:, None]
     ).astype(dtype)                                      # (H, C)
     kh = k[:, None] * head_mask[None, :, None, :]        # (R, H, N, C)
-    sT = jnp.einsum(
-        "rhmc,rnc->rhmn", kh, q * jnp.asarray(scale, dtype),
-        preferred_element_type=jnp.float32,
-    )                                                    # m=key, n=query
-    if mask is not None:
-        sT = sT + jnp.swapaxes(mask, -1, -2)
-    weights = jax.nn.softmax(sT.astype(jnp.float32), axis=-2).astype(dtype)
-    if dropout_rate > 0.0 and dropout_rng is not None:
-        weights = _dropout(weights, dropout_rate, dropout_rng)
-    vT = v.reshape(R, N, H, D).transpose(0, 2, 3, 1)     # (R, H, D, m)
-    oT = jnp.einsum("rhdm,rhmn->rhdn", vT, weights)      # (R, H, D, n)
+    if pair_heads is None:
+        pair_heads = _pair_heads_profitable(N, C, H)
+
+    if pair_heads and H % 2 == 0:
+        # Two heads per MXU tile: keys of heads (2p, 2p+1) stack along the
+        # key dim (their lane masks are disjoint), queries duplicate along
+        # the query dim; an additive block mask kills the off-diagonal
+        # cross-head scores so each column's softmax sees only its own
+        # head.  The AV contracts 2N full lanes with the two heads' v
+        # stacked along keys.  Value-identical to the unpaired path.
+        P = H // 2
+        khh = kh.reshape(R, P, 2 * N, C)
+        q2 = jnp.concatenate([q, q], axis=1)             # (R, 2N, C)
+        sT = jnp.einsum(
+            "rpmc,rnc->rpmn", khh, q2 * jnp.asarray(scale, dtype),
+            preferred_element_type=jnp.float32,
+        )                                                # (R, P, 2N, 2N)
+        neg = jnp.float32(-1e30)
+        if mask is not None:
+            mT = jnp.swapaxes(mask, -1, -2).astype(jnp.float32)
+            mT = jnp.broadcast_to(mT, (mask.shape[0], 1, N, N))
+            off = jnp.full_like(mT, neg)
+            m2 = jnp.concatenate([
+                jnp.concatenate([mT, off], axis=-1),
+                jnp.concatenate([off, mT], axis=-1),
+            ], axis=-2)                                  # (Rm, 1, 2N, 2N)
+            sT = sT + m2
+        else:
+            blk = jnp.where(
+                (jnp.arange(2 * N)[:, None] // N)
+                == (jnp.arange(2 * N)[None, :] // N), 0.0, neg)
+            sT = sT + blk
+        weights = jax.nn.softmax(sT.astype(jnp.float32), axis=-2) \
+            .astype(dtype)
+        if dropout_rate > 0.0 and dropout_rng is not None:
+            weights = _dropout(weights, dropout_rate, dropout_rng)
+        vT = v.reshape(R, N, P, 2, D).transpose(0, 2, 4, 3, 1) \
+            .reshape(R, P, D, 2 * N)                     # keys m = 2N
+        oT2 = jnp.einsum("rpdm,rpmn->rpdn", vT, weights)  # (R, P, D, 2N)
+        oT = oT2.reshape(R, P, D, 2, N).transpose(0, 1, 3, 2, 4) \
+            .reshape(R, H, D, N)
+    else:
+        sT = jnp.einsum(
+            "rhmc,rnc->rhmn", kh, q * jnp.asarray(scale, dtype),
+            preferred_element_type=jnp.float32,
+        )                                                # m=key, n=query
+        if mask is not None:
+            sT = sT + jnp.swapaxes(mask, -1, -2)
+        weights = jax.nn.softmax(sT.astype(jnp.float32), axis=-2).astype(dtype)
+        if dropout_rate > 0.0 and dropout_rng is not None:
+            weights = _dropout(weights, dropout_rate, dropout_rng)
+        vT = v.reshape(R, N, H, D).transpose(0, 2, 3, 1)  # (R, H, D, m)
+        oT = jnp.einsum("rhdm,rhmn->rhdn", vT, weights)   # (R, H, D, n)
     out = oT.transpose(0, 3, 1, 2).reshape(R, N, C)
     out = jnp.einsum("rnc,ck->rnk", out, proj_kernel.astype(dtype))
     return out + proj_bias.astype(dtype)
 
 
-def _pallas_fwd_profitable(N: int, C: int) -> bool:
+def _pallas_fwd_profitable(N: int, C: int, dtype=jnp.bfloat16) -> bool:
     """Forward routing gate for the fused Pallas block kernel (measured on
     v5e vs the memory-targeted chunked-XLA path): Pallas wins at
     full-resolution N (60 vs 113 ms at N=1025/C=32, 55 vs 75 at N=517), at
@@ -153,7 +218,7 @@ def _pallas_fwd_profitable(N: int, C: int) -> bool:
     tools/autotune.py) overrides this v5e-measured heuristic."""
     from ..ops.pallas import autotune
 
-    tuned = autotune.attention_route(N, C)
+    tuned = autotune.attention_route(N, C, jnp.dtype(dtype).name)
     if tuned is not None:
         return tuned == "pallas"
     return not (128 < N < 300 and C <= 64)
@@ -192,7 +257,7 @@ def row_transformer_block(
     use_dropout = dropout_rate > 0.0 and dropout_rng is not None
 
     if attention_impl == "pallas" and mask is None and not use_dropout \
-            and _pallas_fwd_profitable(rows.shape[1], rows.shape[2]):
+            and _pallas_fwd_profitable(rows.shape[1], rows.shape[2], dtype):
         # Whole block in one fused Pallas kernel: LN1 -> attention ->
         # +residual -> LN2 -> MLP -> +residual, no HBM round trips between.
         # Shapes where the chunked-XLA path measures faster fall through.
@@ -210,38 +275,39 @@ def row_transformer_block(
             p.proj_bias.astype(dtype), num_heads,
         )
     elif chunk_size is not None and rows.shape[0] > _effective_chunk(
-            chunk_size, rows.shape[1], num_heads) and mask is None:
+            chunk_size, rows.shape[1], num_heads):
         # Bound peak score memory to (chunk, H, N, N) — functionally identical
         # to full attention; mirrors the reference's row chunking
         # (reference: attention.py:147-155) as a sequential lax.map.
         # jax.checkpoint keeps the BACKWARD bounded too: without it the scan
         # VJP stacks every chunk's (chunk, H, N, N) probs as residuals.
+        # A per-row mask (R, 1, N, N) — masked SWA at full-track shapes
+        # produces 100k+ window-rows — is chunked along with the rows so the
+        # score planes stay bounded; a broadcast (1, 1, N, N) mask is closed
+        # over instead.
         R = rows.shape[0]
         chunk_size = _effective_chunk(chunk_size, rows.shape[1], num_heads)
         pad = (-R) % chunk_size
         padded = jnp.pad(normed, ((0, pad), (0, 0), (0, 0)))
         chunks = padded.reshape(-1, chunk_size, *padded.shape[1:])
+        n_chunks = chunks.shape[0]
+        xs = {"rows": chunks}
+        if mask is not None and mask.shape[0] == R:
+            mp = jnp.pad(mask, ((0, pad), (0, 0), (0, 0), (0, 0)))
+            xs["mask"] = mp.reshape(n_chunks, chunk_size, *mask.shape[1:])
         if use_dropout:
             attn_rng, dropout_rng = jax.random.split(dropout_rng)
-            keys = jax.random.split(attn_rng, chunks.shape[0])
-            attn = jax.lax.map(
-                jax.checkpoint(
-                    lambda ck: mha_rows(
-                        ck[0], p.qkv_kernel, p.proj_kernel, p.proj_bias,
-                        num_heads, dropout_rate=dropout_rate,
-                        dropout_rng=ck[1],
-                    )
-                ),
-                (chunks, keys),
+            xs["rng"] = jax.random.split(attn_rng, n_chunks)
+
+        def _one_chunk(c):
+            return mha_rows(
+                c["rows"], p.qkv_kernel, p.proj_kernel, p.proj_bias,
+                num_heads, mask=c.get("mask", mask),
+                dropout_rate=dropout_rate if use_dropout else 0.0,
+                dropout_rng=c.get("rng"),
             )
-        else:
-            attn = jax.lax.map(
-                jax.checkpoint(
-                    lambda c: mha_rows(c, p.qkv_kernel, p.proj_kernel,
-                                       p.proj_bias, num_heads)
-                ),
-                chunks,
-            )
+
+        attn = jax.lax.map(jax.checkpoint(_one_chunk), xs)
         attn = attn.reshape(-1, *padded.shape[1:])[:R]
     else:
         if use_dropout:

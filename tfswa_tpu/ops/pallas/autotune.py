@@ -22,11 +22,24 @@ cache entries.
 The decisions routed through here:
   - ``attention_route(N, C)``: fused-Pallas vs chunked-XLA block path
     (consumed by models/attention.row_transformer_block).
-  - ``row_block(N, C)``: rows per Pallas grid cell for the fused block
-    kernel (consumed by ops/pallas/fused_block._row_block).  Measured
-    round 3 on v5e: the analytic VMEM bound is conservative at SWA
-    shapes — forcing Rb=48 at (N=64, C=32) runs 21% faster than the
-    estimate's Rb, and Rb=32 wins at (N=64, C=64).
+  - ``row_block(N, C, ...)``: rows per Pallas grid cell for the fused
+    block kernel (consumed by ops/pallas/fused_block._row_block).
+    Measured round 3 on v5e: the analytic VMEM bound is conservative at
+    SWA shapes — the full sweep's winners (e.g. Rb=32 at (N=64, C=32),
+    12.6 vs 20.2 ms for the XLA route; Rb=64 at (N=64, C=64)) run far
+    above the estimate's pick.
+
+Cache keys carry the parameters the measurement actually depends on:
+``"<N>,<C>,<dtype>,<mlp_hidden>,<n_outputs>"`` — a bf16 measurement is
+not reused for f32 (double the VMEM per buffer), a mlp_ratio=4 one not
+for wider MLPs, and the single-output (inference) kernel's Rb not for the
+two-output training kernel.  Legacy ``"<N>,<C>"`` entries (the shipped
+v5e sweep predating this keying) remain readable and are served only for
+the configuration they were measured on: bf16, hidden=4C, one output.
+Row count R is not part of the key: Rb only pads when R < Rb, and every
+sweep shape fixes R at its flagship per-stage value (tools/autotune.py).
+Each sweep also records provenance (device kind, commit, date) under the
+"_meta" key of its device-kind section.
 """
 from __future__ import annotations
 
@@ -41,7 +54,8 @@ _cache: Optional[Dict] = None
 _device_kind: Optional[str] = None
 
 # Shipped measured defaults (tools/autotune.py output, committed).  Keys are
-# "<N>,<C>" for row_block and attention route; values as in the cache file.
+# legacy "<N>,<C>" (bf16, hidden=4C, single-output — the configuration the
+# round-3 sweep measured); values as in the cache file.
 # This is the full tools/autotune.py sweep from runs/autotune/autotune.json
 # (v5e-1, bf16, all flagship stage shapes + the 3 s serving band): a machine
 # without a local cache gets the measured winners, not just the heuristics.
@@ -143,13 +157,74 @@ def record(table: str, key: str, value, kind: Optional[str] = None) -> None:
     reset()
 
 
-def row_block(N: int, C: int) -> Optional[int]:
-    """Measured rows-per-grid-cell for the fused block kernel, or None."""
-    v = lookup("row_block", f"{N},{C}")
-    return int(v) if v is not None else None
+def full_key(N: int, C: int, dtype_name: str, mlp_hidden: int,
+             n_outputs: int = 1) -> str:
+    return f"{N},{C},{dtype_name},{mlp_hidden},{n_outputs}"
 
 
-def attention_route(N: int, C: int) -> Optional[str]:
+def remove(table: str, key: str, kind: Optional[str] = None) -> None:
+    """Drop one cache entry (tools/autotune.py: a sweep whose every
+    candidate failed records nothing rather than a null)."""
+    kind = kind or device_kind()
+    with _lock:
+        path = _path()
+        try:
+            data = json.loads(path.read_text())
+        except (OSError, ValueError):
+            return
+        data.get(kind, {}).get(table, {}).pop(key, None)
+        tmp = path.with_suffix(".tmp")
+        tmp.write_text(json.dumps(data, indent=1, sort_keys=True))
+        tmp.replace(path)
+    reset()
+
+
+def row_block(N: int, C: int, dtype_name: str = "bfloat16",
+              mlp_hidden: Optional[int] = None,
+              n_outputs: int = 1) -> Optional[int]:
+    """Measured rows-per-grid-cell for the fused block kernel, or None.
+
+    Returns the fully-keyed measurement when one exists; otherwise a legacy
+    "<N>,<C>" entry, but only for the configuration the legacy sweeps were
+    taken on (bf16, hidden=4C, single output) — anything else gets None and
+    the caller's analytic VMEM bound decides.
+    """
+    hidden = mlp_hidden if mlp_hidden is not None else 4 * C
+    v = lookup("row_block", full_key(N, C, dtype_name, hidden, n_outputs))
+    if v is not None:
+        return int(v)
+    if dtype_name == "bfloat16" and hidden == 4 * C:
+        # Legacy entries were measured single-output; the caller caps them
+        # analytically when consuming for the two-output training kernel.
+        v = lookup("row_block", f"{N},{C}")
+        return int(v) if v is not None else None
+    return None
+
+
+def attention_route(N: int, C: int,
+                    dtype_name: str = "bfloat16") -> Optional[str]:
     """Measured 'pallas' | 'xla' block route for this shape, or None."""
-    v = lookup("attn_route", f"{N},{C}")
+    v = lookup("attn_route", f"{N},{C},{dtype_name}")
+    if v is None and dtype_name == "bfloat16":
+        v = lookup("attn_route", f"{N},{C}")
     return str(v) if v is not None else None
+
+
+def record_provenance(kind: Optional[str] = None) -> None:
+    """Stamp sweep provenance (chip, commit, date) into the cache file."""
+    import datetime
+    import subprocess
+
+    try:
+        commit = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout.strip() or "unknown"
+    except Exception:
+        commit = "unknown"
+    record("_meta", "provenance", {
+        "device_kind": kind or device_kind(),
+        "commit": commit,
+        "date": datetime.date.today().isoformat(),
+    }, kind=kind)

@@ -64,20 +64,27 @@ def _row_block(N: int, C: int, mlp_hidden: int, dtype,
 
     A measured per-chip override (ops/pallas/autotune.py) wins over the
     analytic VMEM bound — the bound is conservative at small N where lane
-    padding dominates the estimate (measured: Rb=48 at N=64/C=32 runs 21%
-    faster than the bound's choice on v5e).  The measurements are taken on
-    the single-output (inference) kernel; when the training path adds the
-    mid output (n_outputs=2, doubling the double-buffered output VMEM),
-    the tuned value is capped at the analytic bound, which stays safely
-    inside the scoped-VMEM limit."""
+    padding dominates the estimate (the v5e sweep's winners run up to 2.6x
+    above the bound's pick at SWA shapes).  Overrides are keyed by
+    (N, C, dtype, mlp_hidden, n_outputs) so a bf16/ratio-4 measurement is
+    never reused where the VMEM-per-row differs; legacy single-output
+    measurements used for the two-output training kernel are capped at the
+    analytic bound, which stays safely inside the scoped-VMEM limit."""
     sublane = 16 if dtype == jnp.bfloat16 else 8
     if N % sublane != 0:
         return 1
     from . import autotune
 
+    dtype_name = jnp.dtype(dtype).name
     analytic = _analytic_row_block(N, C, mlp_hidden, unroll)
-    tuned = autotune.row_block(N, C)
+    tuned = autotune.row_block(N, C, dtype_name, mlp_hidden, n_outputs)
     if tuned is not None:
+        directly_measured = autotune.lookup(
+            "row_block",
+            autotune.full_key(N, C, dtype_name, mlp_hidden, n_outputs),
+        ) is not None
+        if directly_measured:
+            return tuned
         return min(tuned, analytic) if n_outputs > 1 else tuned
     return analytic
 

@@ -68,7 +68,8 @@ def export_stablehlo(
         new_out = reloaded.call(probe)
         diff = float(jnp.max(jnp.abs(ref_out - new_out)))
         info["max_abs_diff"] = diff
-        assert diff < 1e-4, f"export verification failed: {diff}"
+        if not diff < 1e-4:  # explicit raise: asserts vanish under python -O
+            raise RuntimeError(f"export verification failed: {diff}")
     return info
 
 
@@ -112,7 +113,8 @@ def export_savedmodel(
         new_out = reloaded.serve(tf.constant(probe)).numpy()
         diff = float(np.max(np.abs(ref_out - new_out)))
         info["max_abs_diff"] = diff
-        assert diff < 1e-4, f"SavedModel verification failed: {diff}"
+        if not diff < 1e-4:  # explicit raise: asserts vanish under python -O
+            raise RuntimeError(f"SavedModel verification failed: {diff}")
     return info
 
 

@@ -1,9 +1,11 @@
 """Measure-and-cache kernel routing for the current chip.
 
 Sweeps the flagship model's attention stage shapes on whatever device JAX
-sees, measuring (a) the fused-Pallas vs chunked-XLA block route and (b)
-the fused kernel's rows-per-grid-cell (Rb), and persists the winners to
-the autotune cache (ops/pallas/autotune.py; ``~/.cache/tfswa_tpu`` or
+sees, measuring (a) the fused-Pallas vs chunked-XLA block route, (b) the
+fused kernel's rows-per-grid-cell (Rb) for the single-output (inference)
+kernel, and (c) Rb for the two-output (training) kernel that also exports
+the post-attention intermediate, and persists the winners to the autotune
+cache (ops/pallas/autotune.py; ``~/.cache/tfswa_tpu`` or
 ``$TFSWA_AUTOTUNE_DIR``).  Run once per new chip type:
 
     python tools/autotune.py            # sweep + write cache
@@ -12,7 +14,9 @@ the autotune cache (ops/pallas/autotune.py; ``~/.cache/tfswa_tpu`` or
 Candidates are timed through the PRODUCTION path: each Rb candidate is
 recorded into the cache, the jit cache is dropped, and the public
 ``fused_row_block`` entry point re-traces reading it — so what is timed
-is exactly what will run.
+is exactly what will run.  Cache entries are fully keyed
+(N, C, dtype, mlp_hidden, n_outputs) and the sweep stamps provenance
+(device kind, commit, date) into the cache file.
 """
 from __future__ import annotations
 
@@ -29,7 +33,7 @@ import numpy as np
 
 from tfswa_tpu.ops.pallas import autotune
 from tfswa_tpu.ops.pallas.fused_block import (
-    _analytic_row_block, _xla_block, fused_row_block,
+    _analytic_row_block, _fused_block_impl, _xla_block, fused_row_block,
 )
 from tools.kernel_lab import make_params, timeit
 
@@ -53,21 +57,52 @@ SHAPES = [
 RB_CANDIDATES = (8, 16, 32, 48, 64)
 
 
-def _time_rb(rows, p, H, rb):
-    """Time fused_row_block with Rb forced via a cache entry (so the timed
-    path is exactly the production path)."""
+def _sweep_rb(rows, p, H, dtype_name, hidden, n_outputs, line_parts):
+    """Time each Rb candidate through the production entry point; the
+    winner is left in the cache under its fully-specified key.  Returns
+    (best_rb, best_t); records nothing when every candidate fails."""
     N, C = rows.shape[1], rows.shape[2]
-    autotune.record("row_block", f"{N},{C}", rb)
-    fn = jax.jit(lambda r, pp: fused_row_block(r, pp, H))
-    return timeit(fn, rows, p, iters=6)
+    key = autotune.full_key(N, C, dtype_name, hidden, n_outputs)
+    analytic = _analytic_row_block(N, C, hidden)
+    # measured on v5e: up to ~2.5x the analytic bound still fits VMEM;
+    # 4x is the compile-failure guard for the sweep
+    cands = sorted({analytic} | {rb for rb in RB_CANDIDATES
+                                 if rb <= 4 * analytic})
+    best_rb, best_t = None, None
+    for rb in cands:
+        autotune.record("row_block", key, rb)
+        try:
+            if n_outputs == 1:
+                fn = jax.jit(lambda r, pp: fused_row_block(r, pp, H))
+            else:
+                fn = jax.jit(lambda r, pp: _fused_block_impl(
+                    r, pp, H, with_mid=True))
+            t = timeit(fn, rows, p, iters=6)
+        except Exception:  # too big for VMEM on this chip
+            line_parts.append(f"Rb{'/2out' if n_outputs == 2 else ''}="
+                              f"{rb}:FAIL")
+            continue
+        line_parts.append(
+            f"Rb{'/2out' if n_outputs == 2 else ''}={rb}:{t * 1e3:7.2f}")
+        if best_t is None or t < best_t:
+            best_rb, best_t = rb, t
+    if best_rb is not None:
+        autotune.record("row_block", key, best_rb)
+    else:
+        # leave no entry rather than a null: the analytic bound decides
+        autotune.remove("row_block", key)
+    return best_rb, best_t
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--dry", action="store_true", help="print, don't persist")
     ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--skip-two-output", action="store_true",
+                    help="skip the training-kernel (two-output) Rb sweep")
     args = ap.parse_args()
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    dtype_name = jnp.dtype(dtype).name
 
     if args.dry:
         os.environ["TFSWA_AUTOTUNE_DIR"] = "/tmp/tfswa_autotune_dry"
@@ -75,48 +110,33 @@ def main() -> None:
 
     kind = autotune.device_kind()
     print(f"device kind: {kind}")
-    results = {}
     for label, R, N, C, H in SHAPES:
         rng = np.random.default_rng(0)
         rows = jnp.asarray(rng.standard_normal((R, N, C)), dtype)
         p = make_params(C, rng, dtype)
         hidden = p.fc1_kernel.shape[1]
 
-        line = f"{label:16s} N={N:5d} C={C:4d}"
+        parts = [f"{label:16s} N={N:5d} C={C:4d}"]
         sublane = 16 if dtype == jnp.bfloat16 else 8
-        best_rb, best_t = None, None
+        best_t = None
         if N % sublane == 0:
-            analytic = _analytic_row_block(N, C, hidden)
-            # measured on v5e: up to ~2.5x the analytic bound still fits
-            # VMEM; 4x is the compile-failure guard for the sweep
-            cands = sorted(
-                {analytic} | {rb for rb in RB_CANDIDATES
-                              if rb <= 4 * analytic}
-            )
-            for rb in cands:
-                try:
-                    t = _time_rb(rows, p, H, rb)
-                except Exception:  # too big for VMEM on this chip
-                    line += f"  Rb={rb}:FAIL"
-                    continue
-                line += f"  Rb={rb}:{t * 1e3:7.2f}"
-                if best_t is None or t < best_t:
-                    best_rb, best_t = rb, t
-            autotune.record("row_block", f"{N},{C}", best_rb)
-        else:
+            _, best_t = _sweep_rb(rows, p, H, dtype_name, hidden, 1, parts)
+            if not args.skip_two_output:
+                _sweep_rb(rows, p, H, dtype_name, hidden, 2, parts)
+        if best_t is None:
             best_t = timeit(
                 jax.jit(lambda r, pp: fused_row_block(r, pp, H)),
                 rows, p, iters=6)
-            line += f"  Rb=1:{best_t * 1e3:7.2f}"
+            parts.append(f"Rb=1:{best_t * 1e3:7.2f}")
 
         t_xla = timeit(
             jax.jit(lambda r, pp: _xla_block(r, pp, H)), rows, p, iters=6)
         route = "pallas" if best_t <= t_xla else "xla"
-        line += f"  xla:{t_xla * 1e3:7.2f}  -> {route}"
-        print(line)
-        results[f"{N},{C}"] = route
-        autotune.record("attn_route", f"{N},{C}", route)
+        parts.append(f"xla:{t_xla * 1e3:7.2f}  -> {route}")
+        print("  ".join(parts))
+        autotune.record("attn_route", f"{N},{C},{dtype_name}", route)
 
+    autotune.record_provenance(kind)
     print(f"cache written: {autotune._path()}")
 
 

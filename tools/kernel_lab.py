@@ -1,18 +1,35 @@
-"""Kernel lab: fused-block attention-core variants, measured on real TPU.
+"""Kernel lab: parameterized attention/block experiments on real TPU.
 
-Round-3 performance experiments (VERDICT next-round #1): the enc0/dec2
-fused blocks dominate the forward; their per-head loop serializes
-MXU (scores) -> VPU (exp2) -> MXU (AV).  Variants:
+One tool (round 4) replacing the round-2/3 one-off generations
+(kernel_lab2-5, kernel_ablation, block_ablation{,2}, ablation_avt,
+rb_probe — ~2.1k LoC; every finding they produced is preserved in
+BENCH.md).  Three modes:
 
-  v1  current fused_row_block (control)
-  v2  software-pipelined head loop: head h+1's score matmul is emitted
-      BEFORE head h's exp2 so the VLIW scheduler can overlap MXU and VPU;
-      adds the overflow clamp (ADVICE.md medium finding)
-  v3  v2 + rank-D scores: Q = x Wq_scaled, K = x Wv once (two small
-      matmuls), per-head scores from lane-masked K (A_h = Wq_h Wk_h^T
-      factorized) -- kills the 8 per-head t-matmuls
+    python tools/kernel_lab.py                       # time variants
+    python tools/kernel_lab.py --check               # CPU/interpret equivalence
+    python tools/kernel_lab.py --ablate              # stage ablation (prod form)
+    python tools/kernel_lab.py --variants prod,hpair --shapes SWA
 
-    python tools/kernel_lab.py [--check] [--shapes enc0]
+Variants:
+  prod      production fused_row_block (rank-D pipelined; control)
+  xla       chunked-XLA block path (_xla_block)
+  hpair     head-PAIRED small-N kernel.  At SWA shapes (N=64) every
+            per-head score matmul (64, 32) @ (32, 64) occupies a full
+            128x128 MXU tile at 6.25% utilization.  Two heads' lane
+            masks are disjoint, so stacking [K_masked(2h); K_masked(2h+1)]
+            along the key dim and duplicating Q along the query dim makes
+            one (128, C) @ (C, 128) matmul whose diagonal (64, 64) blocks
+            are the two heads' exact scores — 2x fewer executed tiles.
+            The paired AV contracts 2N = 128 FULL lanes (vs N=64 padded),
+            with per-head v/ones rows key-masked so off-diagonal
+            exp2 garbage never enters outputs or denominators.
+  exp2bf16  prod with exp2 taken on bf16 scores (VPU rate probe; the
+            softmax arg loses ~8 mantissa bits — fidelity printed
+            by --check before any adoption decision)
+
+The stage ablation (--ablate) reuses the round-1 methodology on the
+current production form: qkv-only -> +score matmuls -> +exp2 -> full,
+locating whether a shape is MXU- (scores) or VPU- (exp2) bound.
 """
 from __future__ import annotations
 
@@ -25,6 +42,13 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+
+# The axon TPU plugin ignores the JAX_PLATFORMS env var; honor an explicit
+# cpu request (e.g. correctness --check without the TPU tunnel) the same
+# way tests/conftest.py does, before any backend initializes.
+if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
@@ -32,8 +56,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from tfswa_tpu.models.attention import RowBlockParams
 from tfswa_tpu.ops.pallas.fused_block import (
-    _VMEM_BUDGET, _align128, _bilinear_weights, _erf, _row_block, _xla_block,
-    fused_row_block,
+    SCORE_CLAMP, _erf, _row_block, _xla_block, fused_row_block,
 )
 from tfswa_tpu.ops.pallas._compat import default_interpret
 
@@ -44,10 +67,10 @@ SHAPES = [
     ("enc1 TSA", 431, 512, 64, 8),
     ("enc1 SWA", 3456, 64, 64, 8),
     ("enc2 TSA", 216, 256, 128, 8),
+    ("enc2 SWA", 1024, 64, 128, 8),
     ("bottleneck TSA", 108, 128, 256, 8),
+    ("bottleneck SWA", 256, 64, 256, 8),
 ]
-
-SCORE_CLAMP = 110.0  # log2 units: exp2(110)*N stays < f32 max for N <= 2^17
 
 
 def _ln(xf, s_ref, b_ref):
@@ -72,73 +95,13 @@ def _mlp_tail(y, ln2s_ref, ln2b_ref, fc1_ref, f1b_ref, fc2_ref, f2b_ref, cd):
 
 
 # --------------------------------------------------------------------------
-# v2: pipelined per-head loop (bilinear form, as today) + clamp
+# prod-form kernel body, parameterized for ablation (stage=qkv|scores|exp2)
+# and the exp2bf16 probe.  stage="full" reproduces _fused_block_kernel.
 # --------------------------------------------------------------------------
-def _kernel_v2(
-    x_ref, ln1s_ref, ln1b_ref, a_ref, wv_ref, wo_ref, ob_ref,
-    ln2s_ref, ln2b_ref, fc1_ref, f1b_ref, fc2_ref, f2b_ref,
-    out_ref, *, num_heads: int,
-):
-    Rb, N, C = x_ref.shape
-    H = num_heads
-    D = C // H
-    cd = x_ref.dtype
-
-    xf = x_ref[:].astype(jnp.float32)
-    n1 = _ln(xf, ln1s_ref, ln1b_ref)
-    normed = n1.astype(cd)
-
-    v = jax.lax.dot_general(
-        normed, wv_ref[:], (((2,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(cd)
-    vT = jnp.swapaxes(v, 1, 2)
-    ones_row = jnp.ones((Rb, 1, N), cd)
-
-    def scores(h):
-        t = jax.lax.dot_general(
-            normed, a_ref[h], (((2,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(cd)
-        return jax.lax.dot_general(
-            normed, t, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )
-
-    accT_parts = []
-    sT = scores(0)
-    for h in range(H):
-        sT_next = scores(h + 1) if h + 1 < H else None
-        pT = jnp.exp2(jnp.minimum(sT, SCORE_CLAMP)).astype(cd)
-        v_hT = jnp.concatenate(
-            [vT[:, h * D:(h + 1) * D, :], ones_row], axis=1)
-        oeT = jax.lax.dot_general(
-            v_hT, pT, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )
-        denomT = oeT[:, D:D + 1, :]
-        accT_parts.append(oeT[:, :D, :] * pl.reciprocal(denomT, approx=False))
-        sT = sT_next
-    accT = jnp.concatenate(accT_parts, axis=1)
-    acc = jnp.swapaxes(accT, 1, 2)
-    attn = jax.lax.dot_general(
-        acc.astype(cd), wo_ref[:], (((2,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) + ob_ref[:].astype(jnp.float32)
-
-    y = xf + attn
-    out = _mlp_tail(y, ln2s_ref, ln2b_ref, fc1_ref, f1b_ref, fc2_ref,
-                    f2b_ref, cd)
-    out_ref[:] = out.astype(out_ref.dtype)
-
-
-# --------------------------------------------------------------------------
-# v3: pipelined + rank-D scores (Q/K projections once, lane-masked K)
-# --------------------------------------------------------------------------
-def _kernel_v3(
+def _kernel_prod(
     x_ref, ln1s_ref, ln1b_ref, wq_ref, wk_ref, wv_ref, wo_ref, ob_ref,
     ln2s_ref, ln2b_ref, fc1_ref, f1b_ref, fc2_ref, f2b_ref,
-    out_ref, *, num_heads: int,
+    out_ref, *, num_heads: int, stage: str = "full", exp2_bf16: bool = False,
 ):
     Rb, N, C = x_ref.shape
     H = num_heads
@@ -146,8 +109,7 @@ def _kernel_v3(
     cd = x_ref.dtype
 
     xf = x_ref[:].astype(jnp.float32)
-    n1 = _ln(xf, ln1s_ref, ln1b_ref)
-    normed = n1.astype(cd)
+    normed = _ln(xf, ln1s_ref, ln1b_ref).astype(cd)
 
     q = jax.lax.dot_general(          # wq pre-scaled by D^-0.5 * log2(e)
         normed, wq_ref[:], (((2,), (0,)), ((), ())),
@@ -161,23 +123,41 @@ def _kernel_v3(
         normed, wv_ref[:], (((2,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).astype(cd)
+    if stage == "qkv":
+        out_ref[:] = (q.astype(jnp.float32) + k + v).astype(out_ref.dtype)
+        return
     vT = jnp.swapaxes(v, 1, 2)
     ones_row = jnp.ones((Rb, 1, N), cd)
-
     lane = jax.lax.broadcasted_iota(jnp.int32, (Rb, N, C), 2)
 
-    def scores(h):
+    def _scores(h):
         kh = jnp.where((lane >= h * D) & (lane < (h + 1) * D), k, 0).astype(cd)
         return jax.lax.dot_general(
             kh, q, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
 
+    if stage == "scores":
+        acc = jnp.zeros((Rb, N, C), jnp.float32)
+        for h in range(H):
+            acc = acc + jnp.swapaxes(_scores(h)[:, :C, :], 1, 2)
+        out_ref[:] = acc.astype(out_ref.dtype)
+        return
+
     accT_parts = []
-    sT = scores(0)
+    sT = _scores(0)
     for h in range(H):
-        sT_next = scores(h + 1) if h + 1 < H else None
-        pT = jnp.exp2(jnp.minimum(sT, SCORE_CLAMP)).astype(cd)
+        sT_next = _scores(h + 1) if h + 1 < H else None
+        if exp2_bf16:
+            pT = jnp.exp2(jnp.minimum(sT, SCORE_CLAMP).astype(jnp.bfloat16)) \
+                .astype(cd)
+        else:
+            pT = jnp.exp2(jnp.minimum(sT, SCORE_CLAMP)).astype(cd)
+        if stage == "exp2":
+            accT_parts.append(jnp.swapaxes(pT[:, :, :D], 1, 2)
+                              .astype(jnp.float32))
+            sT = sT_next
+            continue
         v_hT = jnp.concatenate(
             [vT[:, h * D:(h + 1) * D, :], ones_row], axis=1)
         oeT = jax.lax.dot_general(
@@ -188,6 +168,94 @@ def _kernel_v3(
         accT_parts.append(oeT[:, :D, :] * pl.reciprocal(denomT, approx=False))
         sT = sT_next
     accT = jnp.concatenate(accT_parts, axis=1)
+    acc = jnp.swapaxes(accT, 1, 2)
+    if stage == "exp2":
+        out_ref[:] = acc.astype(out_ref.dtype)
+        return
+    attn = jax.lax.dot_general(
+        acc.astype(cd), wo_ref[:], (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + ob_ref[:].astype(jnp.float32)
+
+    y = xf + attn
+    out = _mlp_tail(y, ln2s_ref, ln2b_ref, fc1_ref, f1b_ref, fc2_ref,
+                    f2b_ref, cd)
+    out_ref[:] = out.astype(out_ref.dtype)
+
+
+# --------------------------------------------------------------------------
+# hpair: head-paired scores + full-lane AV for small N (2N <= 128)
+# --------------------------------------------------------------------------
+def _kernel_hpair(
+    x_ref, ln1s_ref, ln1b_ref, wq_ref, wk_ref, wv_ref, wo_ref, ob_ref,
+    ln2s_ref, ln2b_ref, fc1_ref, f1b_ref, fc2_ref, f2b_ref,
+    out_ref, *, num_heads: int,
+):
+    Rb, N, C = x_ref.shape
+    H = num_heads
+    D = C // H
+    cd = x_ref.dtype
+
+    xf = x_ref[:].astype(jnp.float32)
+    normed = _ln(xf, ln1s_ref, ln1b_ref).astype(cd)
+
+    q = jax.lax.dot_general(
+        normed, wq_ref[:], (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(cd)
+    k = jax.lax.dot_general(
+        normed, wk_ref[:], (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(cd)
+    v = jax.lax.dot_general(
+        normed, wv_ref[:], (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(cd)
+    vT = jnp.swapaxes(v, 1, 2)                              # (Rb, C, N)
+    ones_row = jnp.ones((Rb, 1, N), cd)
+    zeros_dn = jnp.zeros((Rb, D + 1, N), cd)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (Rb, N, C), 2)
+    # Q duplicated along the query dim: off-diagonal score blocks hold the
+    # OTHER head's real scores, but the key-masked v/ones rows below zero
+    # their contribution to outputs and denominators alike.
+    q2 = jnp.concatenate([q, q], axis=1)                    # (Rb, 2N, C)
+
+    def _khh(p):
+        a, b = 2 * p, 2 * p + 1
+        ka = jnp.where((lane >= a * D) & (lane < (a + 1) * D), k, 0)
+        kb = jnp.where((lane >= b * D) & (lane < (b + 1) * D), k, 0)
+        return jnp.concatenate([ka, kb], axis=1).astype(cd)  # (Rb, 2N, C)
+
+    def _scores(p):
+        # keys m on sublanes (2N: head 2p then 2p+1), queries n on lanes
+        return jax.lax.dot_general(
+            _khh(p), q2, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )                                                   # (Rb, 2N, 2N)
+
+    accT_parts = [None] * H
+    sT = _scores(0)
+    for p in range(H // 2):
+        sT_next = _scores(p + 1) if p + 1 < H // 2 else None
+        pT = jnp.exp2(jnp.minimum(sT, SCORE_CLAMP)).astype(cd)
+        a, b = 2 * p, 2 * p + 1
+        va = jnp.concatenate([vT[:, a * D:(a + 1) * D, :], ones_row], axis=1)
+        vb = jnp.concatenate([vT[:, b * D:(b + 1) * D, :], ones_row], axis=1)
+        v2 = jnp.concatenate([
+            jnp.concatenate([va, jnp.zeros_like(zeros_dn)], axis=2),
+            jnp.concatenate([zeros_dn, vb], axis=2),
+        ], axis=1)                                          # (Rb, 2D+2, 2N)
+        oe = jax.lax.dot_general(
+            v2, pT, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )                                                   # (Rb, 2D+2, 2N)
+        den_a = oe[:, D:D + 1, :N]
+        den_b = oe[:, 2 * D + 1:2 * D + 2, N:]
+        accT_parts[a] = oe[:, :D, :N] * pl.reciprocal(den_a, approx=False)
+        accT_parts[b] = oe[:, D + 1:2 * D + 1, N:] \
+            * pl.reciprocal(den_b, approx=False)
+        sT = sT_next
+    accT = jnp.concatenate(accT_parts, axis=1)              # (Rb, C, N)
     acc = jnp.swapaxes(accT, 1, 2)
     attn = jax.lax.dot_general(
         acc.astype(cd), wo_ref[:], (((2,), (0,)), ((), ())),
@@ -200,34 +268,25 @@ def _kernel_v3(
     out_ref[:] = out.astype(out_ref.dtype)
 
 
-def _call_variant(kernel, rows, p, num_heads, split_qk: bool):
+def _call_kernel(kernel, rows, p, num_heads, rb_override=None):
+    """Launch a lab kernel with the production wq/wk/wv weight prep."""
     R, N, C = rows.shape
     dtype = rows.dtype
     hidden = p.fc1_kernel.shape[1]
-    Rb = _row_block(N, C, hidden, dtype)
+    Rb = rb_override or _row_block(N, C, hidden, dtype)
     pad = (-R) % Rb
     padded = jnp.pad(rows, ((0, pad), (0, 0), (0, 0))) if pad else rows
     Rp = R + pad
-    H = num_heads
-    D = C // H
+    D = C // num_heads
+    wq = p.qkv_kernel[:, :C].astype(jnp.float32) \
+        * (D ** -0.5) * 1.4426950408889634
+    wk = p.qkv_kernel[:, C:2 * C]
+    wv = p.qkv_kernel[:, 2 * C:]
 
     def bcast(shape):
         nd = len(shape)
         return pl.BlockSpec(shape, lambda i: (0,) * nd,
                             memory_space=pltpu.VMEM)
-
-    if split_qk:
-        wq = p.qkv_kernel[:, :C].astype(jnp.float32) \
-            * (D ** -0.5) * 1.4426950408889634
-        wk = p.qkv_kernel[:, C:2 * C]
-        wv = p.qkv_kernel[:, 2 * C:]
-        weight_args = (wq.astype(dtype), wk.astype(dtype), wv.astype(dtype))
-        weight_specs = [bcast((C, C))] * 3
-    else:
-        a, wv = _bilinear_weights(p.qkv_kernel, num_heads)
-        a = a * 1.4426950408889634
-        weight_args = (a.astype(dtype), wv.astype(dtype))
-        weight_specs = [bcast((H, C, C)), bcast((C, C))]
 
     out = pl.pallas_call(
         functools.partial(kernel, num_heads=num_heads),
@@ -237,7 +296,7 @@ def _call_variant(kernel, rows, p, num_heads, split_qk: bool):
             pl.BlockSpec((Rb, N, C), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             bcast((C,)), bcast((C,)),
-            *weight_specs,
+            bcast((C, C)), bcast((C, C)), bcast((C, C)),
             bcast((C, C)), bcast((C,)),
             bcast((C,)), bcast((C,)),
             bcast((C, hidden)), bcast((hidden,)),
@@ -255,7 +314,8 @@ def _call_variant(kernel, rows, p, num_heads, split_qk: bool):
     )(
         padded,
         p.norm1_scale.astype(dtype), p.norm1_bias.astype(dtype),
-        *weight_args, p.proj_kernel.astype(dtype), p.proj_bias.astype(dtype),
+        wq.astype(dtype), wk.astype(dtype), wv.astype(dtype),
+        p.proj_kernel.astype(dtype), p.proj_bias.astype(dtype),
         p.norm2_scale.astype(dtype), p.norm2_bias.astype(dtype),
         p.fc1_kernel.astype(dtype), p.fc1_bias.astype(dtype),
         p.fc2_kernel.astype(dtype), p.fc2_bias.astype(dtype),
@@ -263,12 +323,29 @@ def _call_variant(kernel, rows, p, num_heads, split_qk: bool):
     return out[:R] if pad else out
 
 
-def block_v2(rows, p, num_heads):
-    return _call_variant(_kernel_v2, rows, p, num_heads, split_qk=False)
+def block_hpair(rows, p, num_heads):
+    N = rows.shape[1]
+    if 2 * N > 128 or num_heads % 2:
+        raise ValueError("hpair targets 2N <= 128 with even heads")
+    return _call_kernel(_kernel_hpair, rows, p, num_heads)
 
 
-def block_v3(rows, p, num_heads):
-    return _call_variant(_kernel_v3, rows, p, num_heads, split_qk=True)
+def block_exp2bf16(rows, p, num_heads):
+    return _call_kernel(
+        functools.partial(_kernel_prod, exp2_bf16=True), rows, p, num_heads)
+
+
+def block_stage(stage, rows, p, num_heads):
+    return _call_kernel(
+        functools.partial(_kernel_prod, stage=stage), rows, p, num_heads)
+
+
+VARIANTS = {
+    "prod": lambda r, p, H: fused_row_block(r, p, H),
+    "xla": lambda r, p, H: _xla_block(r, p, H),
+    "hpair": block_hpair,
+    "exp2bf16": block_exp2bf16,
+}
 
 
 def make_params(C, rng, dtype):
@@ -296,30 +373,40 @@ def timeit(fn, rows, p, iters=8):
     return (time.perf_counter() - t0) / iters
 
 
+def check(names):
+    rng = np.random.default_rng(1)
+    rows = jnp.asarray(rng.standard_normal((8, 64, 32)), jnp.float32)
+    rows = rows.at[0].mul(30.0)   # exercise the clamp region
+    p = make_params(32, rng, jnp.float32)
+    ref = jax.jit(lambda r, pp: _xla_block(r, pp, 8))(rows, p)
+    for name in names:
+        if name == "xla":
+            continue
+        fn = VARIANTS[name]
+        got = jax.jit(lambda r, pp: fn(r, pp, 8))(rows, p)
+        err = float(jnp.max(jnp.abs(ref - got)))
+        den = float(jnp.max(jnp.abs(ref))) or 1.0
+        fin = bool(jnp.isfinite(got).all())
+        print(f"  {name:9s}: max_abs_err {err:.3e} (rel {err/den:.3e}) "
+              f"finite={fin}")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--check", action="store_true")
+    ap.add_argument("--ablate", action="store_true")
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--shapes", default="")
+    ap.add_argument("--variants", default="prod,hpair")
     args = ap.parse_args()
     dtype = jnp.dtype(args.dtype)
+    names = [v for v in args.variants.split(",") if v]
 
     print(f"device: {jax.devices()[0]}, dtype {dtype}")
     if args.check:
-        rng = np.random.default_rng(1)
-        rows = jnp.asarray(rng.standard_normal((8, 256, 32)), jnp.float32)
-        # include large-magnitude rows to exercise the clamp region
-        rows = rows.at[0].mul(30.0)
-        p = make_params(32, rng, jnp.float32)
-        ref = jax.jit(lambda r, pp: _xla_block(r, pp, 8))(rows, p)
-        for name, fn in [("v2", block_v2), ("v3", block_v3)]:
-            got = jax.jit(lambda r, pp: fn(r, pp, 8))(rows, p)
-            err = float(jnp.max(jnp.abs(ref - got)))
-            den = float(jnp.max(jnp.abs(ref))) or 1.0
-            fin = bool(jnp.isfinite(got).all())
-            print(f"  {name}: max_abs_err {err:.3e} (rel {err/den:.3e}) "
-                  f"finite={fin}")
+        check(names)
+        return
 
     for label, R, N, C, H in SHAPES:
         if args.shapes and args.shapes not in label:
@@ -327,17 +414,26 @@ def main():
         rng = np.random.default_rng(0)
         rows = jnp.asarray(rng.standard_normal((R, N, C)), dtype)
         p = make_params(C, rng, dtype)
-        line = f"{label:16s} R={R:5d} N={N:4d} C={C:3d}"
-        for name, fn in [
-            ("v1", lambda r, pp: fused_row_block(r, pp, H)),
-            ("v2", lambda r, pp: block_v2(r, pp, H)),
-            ("v3", lambda r, pp: block_v3(r, pp, H)),
-        ]:
+        line = f"{label:15s} R={R:5d} N={N:4d} C={C:3d}"
+        if args.ablate:
+            for stage in ("qkv", "scores", "exp2", "full"):
+                try:
+                    t = timeit(jax.jit(functools.partial(
+                        block_stage, stage, num_heads=H)),
+                        rows, p, iters=args.iters)
+                    line += f"  {stage} {t*1e3:8.2f}"
+                except Exception as exc:
+                    line += f"  {stage} FAIL({str(exc)[:60]})"
+            print(line)
+            continue
+        for name in names:
+            fn = VARIANTS[name]
             try:
-                t = timeit(jax.jit(fn), rows, p, iters=args.iters)
+                t = timeit(jax.jit(lambda r, pp: fn(r, pp, H)),
+                           rows, p, iters=args.iters)
                 line += f"  {name} {t*1e3:8.2f} ms"
             except Exception as exc:
-                line += f"  {name} FAILED: {str(exc)[:120]}"
+                line += f"  {name} FAILED: {str(exc)[:80]}"
         print(line)
 
 
