@@ -158,8 +158,9 @@ def record(table: str, key: str, value, kind: Optional[str] = None) -> None:
 
 
 def full_key(N: int, C: int, dtype_name: str, mlp_hidden: int,
-             n_outputs: int = 1) -> str:
-    return f"{N},{C},{dtype_name},{mlp_hidden},{n_outputs}"
+             n_outputs: int = 1, variant: str = "") -> str:
+    base = f"{N},{C},{dtype_name},{mlp_hidden},{n_outputs}"
+    return f"{base},{variant}" if variant else base
 
 
 def remove(table: str, key: str, kind: Optional[str] = None) -> None:
@@ -181,18 +182,23 @@ def remove(table: str, key: str, kind: Optional[str] = None) -> None:
 
 def row_block(N: int, C: int, dtype_name: str = "bfloat16",
               mlp_hidden: Optional[int] = None,
-              n_outputs: int = 1) -> Optional[int]:
+              n_outputs: int = 1, variant: str = "") -> Optional[int]:
     """Measured rows-per-grid-cell for the fused block kernel, or None.
 
     Returns the fully-keyed measurement when one exists; otherwise a legacy
     "<N>,<C>" entry, but only for the configuration the legacy sweeps were
-    taken on (bf16, hidden=4C, single output) — anything else gets None and
-    the caller's analytic VMEM bound decides.
+    taken on (bf16, hidden=4C, single output, default kernel variant) —
+    anything else gets None and the caller's analytic VMEM bound decides.
     """
     hidden = mlp_hidden if mlp_hidden is not None else 4 * C
-    v = lookup("row_block", full_key(N, C, dtype_name, hidden, n_outputs))
+    v = lookup("row_block",
+               full_key(N, C, dtype_name, hidden, n_outputs, variant))
     if v is not None:
         return int(v)
+    if variant:
+        # kernel variants (e.g. head-paired) have different VMEM shapes —
+        # never reuse a default-variant measurement for them
+        return None
     if dtype_name == "bfloat16" and hidden == 4 * C:
         # Legacy entries were measured single-output; the caller caps them
         # analytically when consuming for the two-output training kernel.

@@ -55,8 +55,24 @@ def _align128(n: int) -> int:
     return ((n + 127) // 128) * 128
 
 
+def _pair_heads_profitable(N: int, C: int, num_heads: int) -> bool:
+    """Whether the fused kernel pairs heads two-per-MXU-tile (see the
+    pair_heads branch of _fused_block_kernel).  Gated to shapes where a
+    head's (N, C) @ (C, N) score matmul underfills one 128x128 tile; a
+    per-chip autotune entry ("fused_pair") overrides the default."""
+    if 2 * N > 128 or num_heads % 2 or N % 8:
+        return False
+    from . import autotune
+
+    tuned = autotune.lookup("fused_pair", f"{N},{C}")
+    if tuned is not None:
+        return bool(tuned)
+    return True
+
+
 def _row_block(N: int, C: int, mlp_hidden: int, dtype,
-               unroll: int = 1, n_outputs: int = 1) -> int:
+               unroll: int = 1, n_outputs: int = 1,
+               paired: bool = False) -> int:
     """Rows per grid cell.  The head loop keeps ~2*unroll live (N, N) f32
     planes (scores + probs per unrolled head); everything else is O(N*C).
     Rb > 1 additionally requires N sublane-aligned (Mosaic merges (Rb, N)
@@ -76,12 +92,15 @@ def _row_block(N: int, C: int, mlp_hidden: int, dtype,
     from . import autotune
 
     dtype_name = jnp.dtype(dtype).name
-    analytic = _analytic_row_block(N, C, mlp_hidden, unroll)
-    tuned = autotune.row_block(N, C, dtype_name, mlp_hidden, n_outputs)
+    analytic = _analytic_row_block(N, C, mlp_hidden, unroll, paired)
+    variant = "hpair" if paired else ""
+    tuned = autotune.row_block(N, C, dtype_name, mlp_hidden, n_outputs,
+                               variant=variant)
     if tuned is not None:
         directly_measured = autotune.lookup(
             "row_block",
-            autotune.full_key(N, C, dtype_name, mlp_hidden, n_outputs),
+            autotune.full_key(N, C, dtype_name, mlp_hidden, n_outputs,
+                              variant),
         ) is not None
         if directly_measured:
             return tuned
@@ -90,10 +109,13 @@ def _row_block(N: int, C: int, mlp_hidden: int, dtype,
 
 
 def _analytic_row_block(N: int, C: int, mlp_hidden: int,
-                        unroll: int = 1) -> int:
+                        unroll: int = 1, paired: bool = False) -> int:
     """The conservative VMEM-bound Rb (no measured override)."""
+    # paired: the live score planes are (2N, align128(2N)) instead of
+    # (N, align128(N)) — 2x at N=64 — and the AV output doubles too.
+    sN, sA = (2 * N, _align128(2 * N)) if paired else (N, _align128(N))
     per_row = (
-        2 * unroll * N * _align128(N) * 4
+        2 * unroll * sN * sA * 4
         + 14 * N * _align128(C) * 4
         + 2 * N * _align128(mlp_hidden) * 4
     )
@@ -118,7 +140,7 @@ def _erf(x):
 def _fused_block_kernel(
     x_ref, ln1s_ref, ln1b_ref, wq_ref, wk_ref, wv_ref, wo_ref, ob_ref,
     ln2s_ref, ln2b_ref, fc1_ref, f1b_ref, fc2_ref, f2b_ref,
-    out_ref, mid_ref=None, *, num_heads: int,
+    out_ref, mid_ref=None, *, num_heads: int, pair_heads: bool = False,
 ):
     Rb, N, C = x_ref.shape
     H = num_heads
@@ -173,23 +195,74 @@ def _fused_block_kernel(
     # out of the AV matmul (flash trick); each head's transposed AV
     # produces only its own D+1 SUBLANE rows (16x less executed AV volume
     # than the lane-padded form).
-    accT_parts = []
-    sT = _scores(0)
-    for h in range(H):
-        sT_next = _scores(h + 1) if h + 1 < H else None
-        pT = jnp.exp2(jnp.minimum(sT, SCORE_CLAMP)).astype(cd)
-        v_hT = jnp.concatenate(
-            [vT[:, h * D:(h + 1) * D, :], ones_row], axis=1
-        )                                                   # (Rb, D+1, Nm)
-        oeT = jax.lax.dot_general(
-            v_hT, pT, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )                                                   # (Rb, D+1, Nn)
-        denomT = oeT[:, D:D + 1, :]
-        accT_parts.append(
-            oeT[:, :D, :] * pl.reciprocal(denomT, approx=False))
-        sT = sT_next
-    accT = jnp.concatenate(accT_parts, axis=1)              # (Rb, C, N)
+    if pair_heads:
+        # Head-PAIRED small-N form (round 4): at SWA shapes (N = 64) each
+        # per-head score matmul occupies one 128x128 MXU tile at 6.25%
+        # utilization.  Heads (2p, 2p+1) have disjoint lane masks, so
+        # stacking their masked K along the key dim and duplicating Q
+        # along the query dim yields one (2N, C) @ (C, 2N) matmul whose
+        # diagonal (N, N) blocks are the two heads' exact scores — half
+        # the executed tiles — and the paired AV contracts 2N = 128 FULL
+        # lanes.  Off-diagonal blocks hold the other head's real scores
+        # (Q is unmasked), but the key-masked v/ones rows zero their
+        # contribution to outputs and denominators alike.
+        q2 = jnp.concatenate([q, q], axis=1)                # (Rb, 2N, C)
+        zeros_dn = jnp.zeros((Rb, D + 1, N), cd)
+
+        def _pair_scores(pr):
+            a, b = 2 * pr, 2 * pr + 1
+            ka = jnp.where((lane >= a * D) & (lane < (a + 1) * D), k, 0)
+            kb = jnp.where((lane >= b * D) & (lane < (b + 1) * D), k, 0)
+            khh = jnp.concatenate([ka, kb], axis=1).astype(cd)
+            return jax.lax.dot_general(
+                khh, q2, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )                                               # (Rb, 2Nm, 2Nn)
+
+        accT_parts = [None] * H
+        sT = _pair_scores(0)
+        for pr in range(H // 2):
+            sT_next = _pair_scores(pr + 1) if pr + 1 < H // 2 else None
+            pT = jnp.exp2(jnp.minimum(sT, SCORE_CLAMP)).astype(cd)
+            a, b = 2 * pr, 2 * pr + 1
+            va = jnp.concatenate(
+                [vT[:, a * D:(a + 1) * D, :], ones_row], axis=1)
+            vb = jnp.concatenate(
+                [vT[:, b * D:(b + 1) * D, :], ones_row], axis=1)
+            v2 = jnp.concatenate([
+                jnp.concatenate([va, jnp.zeros_like(zeros_dn)], axis=2),
+                jnp.concatenate([zeros_dn, vb], axis=2),
+            ], axis=1)                                      # (Rb, 2D+2, 2Nm)
+            oe = jax.lax.dot_general(
+                v2, pT, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )                                               # (Rb, 2D+2, 2Nn)
+            den_a = oe[:, D:D + 1, :N]
+            den_b = oe[:, 2 * D + 1:2 * D + 2, N:]
+            accT_parts[a] = oe[:, :D, :N] \
+                * pl.reciprocal(den_a, approx=False)
+            accT_parts[b] = oe[:, D + 1:2 * D + 1, N:] \
+                * pl.reciprocal(den_b, approx=False)
+            sT = sT_next
+        accT = jnp.concatenate(accT_parts, axis=1)          # (Rb, C, N)
+    else:
+        accT_parts = []
+        sT = _scores(0)
+        for h in range(H):
+            sT_next = _scores(h + 1) if h + 1 < H else None
+            pT = jnp.exp2(jnp.minimum(sT, SCORE_CLAMP)).astype(cd)
+            v_hT = jnp.concatenate(
+                [vT[:, h * D:(h + 1) * D, :], ones_row], axis=1
+            )                                               # (Rb, D+1, Nm)
+            oeT = jax.lax.dot_general(
+                v_hT, pT, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )                                               # (Rb, D+1, Nn)
+            denomT = oeT[:, D:D + 1, :]
+            accT_parts.append(
+                oeT[:, :D, :] * pl.reciprocal(denomT, approx=False))
+            sT = sT_next
+        accT = jnp.concatenate(accT_parts, axis=1)          # (Rb, C, N)
     acc = jnp.swapaxes(accT, 1, 2)                          # (Rb, N, C)
     attn = jax.lax.dot_general(
         acc.astype(cd), wo_ref[:], (((2,), (0,)), ((), ())),
@@ -245,7 +318,9 @@ def _fused_block_impl(rows, p, num_heads: int, with_mid: bool = False):
     R, N, C = rows.shape
     dtype = rows.dtype
     hidden = p.fc1_kernel.shape[1]
-    Rb = _row_block(N, C, hidden, dtype, n_outputs=2 if with_mid else 1)
+    paired = _pair_heads_profitable(N, C, num_heads)
+    Rb = _row_block(N, C, hidden, dtype, n_outputs=2 if with_mid else 1,
+                    paired=paired)
     pad = (-R) % Rb
     padded = jnp.pad(rows, ((0, pad), (0, 0), (0, 0))) if pad else rows
     Rp = R + pad
@@ -264,7 +339,8 @@ def _fused_block_impl(rows, p, num_heads: int, with_mid: bool = False):
 
     out_block = pl.BlockSpec((Rb, N, C), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM)
-    kernel = functools.partial(_fused_block_kernel, num_heads=num_heads)
+    kernel = functools.partial(_fused_block_kernel, num_heads=num_heads,
+                               pair_heads=paired)
     res = pl.pallas_call(
         kernel,
         grid=(Rp // Rb,),

@@ -57,17 +57,20 @@ SHAPES = [
 RB_CANDIDATES = (8, 16, 32, 48, 64)
 
 
-def _sweep_rb(rows, p, H, dtype_name, hidden, n_outputs, line_parts):
+def _sweep_rb(rows, p, H, dtype_name, hidden, n_outputs, line_parts,
+              variant=""):
     """Time each Rb candidate through the production entry point; the
     winner is left in the cache under its fully-specified key.  Returns
     (best_rb, best_t); records nothing when every candidate fails."""
     N, C = rows.shape[1], rows.shape[2]
-    key = autotune.full_key(N, C, dtype_name, hidden, n_outputs)
-    analytic = _analytic_row_block(N, C, hidden)
+    key = autotune.full_key(N, C, dtype_name, hidden, n_outputs, variant)
+    analytic = _analytic_row_block(N, C, hidden, paired=variant == "hpair")
     # measured on v5e: up to ~2.5x the analytic bound still fits VMEM;
     # 4x is the compile-failure guard for the sweep
     cands = sorted({analytic} | {rb for rb in RB_CANDIDATES
                                  if rb <= 4 * analytic})
+    tag = ("p" if variant == "hpair" else "") \
+        + ("/2out" if n_outputs == 2 else "")
     best_rb, best_t = None, None
     for rb in cands:
         autotune.record("row_block", key, rb)
@@ -79,11 +82,9 @@ def _sweep_rb(rows, p, H, dtype_name, hidden, n_outputs, line_parts):
                     r, pp, H, with_mid=True))
             t = timeit(fn, rows, p, iters=6)
         except Exception:  # too big for VMEM on this chip
-            line_parts.append(f"Rb{'/2out' if n_outputs == 2 else ''}="
-                              f"{rb}:FAIL")
+            line_parts.append(f"Rb{tag}={rb}:FAIL")
             continue
-        line_parts.append(
-            f"Rb{'/2out' if n_outputs == 2 else ''}={rb}:{t * 1e3:7.2f}")
+        line_parts.append(f"Rb{tag}={rb}:{t * 1e3:7.2f}")
         if best_t is None or t < best_t:
             best_rb, best_t = rb, t
     if best_rb is not None:
@@ -92,6 +93,38 @@ def _sweep_rb(rows, p, H, dtype_name, hidden, n_outputs, line_parts):
         # leave no entry rather than a null: the analytic bound decides
         autotune.remove("row_block", key)
     return best_rb, best_t
+
+
+def _sweep_fused(rows, p, H, dtype_name, hidden, parts, two_output):
+    """Sweep the fused kernel at this shape: head-paired vs per-head form
+    (where pairing applies), each with its own Rb sweep.  Leaves the
+    winning form in "fused_pair" and returns its best single-output time."""
+    from tfswa_tpu.ops.pallas.fused_block import _pair_heads_profitable
+
+    N, C = rows.shape[1], rows.shape[2]
+    pairable = _pair_heads_profitable(N, C, H) or (
+        2 * N <= 128 and H % 2 == 0 and N % 8 == 0)
+    if not pairable:
+        _, best_t = _sweep_rb(rows, p, H, dtype_name, hidden, 1, parts)
+        if two_output:
+            _sweep_rb(rows, p, H, dtype_name, hidden, 2, parts)
+        return best_t
+
+    results = {}
+    for pair in (0, 1):
+        autotune.record("fused_pair", f"{N},{C}", pair)
+        variant = "hpair" if pair else ""
+        _, t = _sweep_rb(rows, p, H, dtype_name, hidden, 1, parts,
+                         variant=variant)
+        if two_output:
+            _sweep_rb(rows, p, H, dtype_name, hidden, 2, parts,
+                      variant=variant)
+        if t is not None:
+            results[pair] = t
+    best_pair = min(results, key=results.get) if results else 0
+    autotune.record("fused_pair", f"{N},{C}", best_pair)
+    parts.append(f"pair->{best_pair}")
+    return results.get(best_pair)
 
 
 def main() -> None:
@@ -120,19 +153,36 @@ def main() -> None:
         sublane = 16 if dtype == jnp.bfloat16 else 8
         best_t = None
         if N % sublane == 0:
-            _, best_t = _sweep_rb(rows, p, H, dtype_name, hidden, 1, parts)
-            if not args.skip_two_output:
-                _sweep_rb(rows, p, H, dtype_name, hidden, 2, parts)
+            best_t = _sweep_fused(rows, p, H, dtype_name, hidden, parts,
+                                  two_output=not args.skip_two_output)
         if best_t is None:
             best_t = timeit(
                 jax.jit(lambda r, pp: fused_row_block(r, pp, H)),
                 rows, p, iters=6)
             parts.append(f"Rb=1:{best_t * 1e3:7.2f}")
 
-        t_xla = timeit(
-            jax.jit(lambda r, pp: _xla_block(r, pp, H)), rows, p, iters=6)
+        # XLA route: A/B mha_rows head pairing where it applies, keep the
+        # winner in "mha_pair" (consumed by the remat/backward path too).
+        if 2 * N <= 128 and H % 2 == 0 and N % 8 == 0:
+            t_by_pair = {}
+            for mp in (0, 1):
+                autotune.record("mha_pair", f"{N},{C}", mp)
+                t_by_pair[mp] = timeit(
+                    jax.jit(lambda r, pp: _xla_block(r, pp, H)),
+                    rows, p, iters=6)
+                parts.append(f"xla{'p' if mp else ''}:"
+                             f"{t_by_pair[mp] * 1e3:7.2f}")
+            best_mp = min(t_by_pair, key=t_by_pair.get)
+            autotune.record("mha_pair", f"{N},{C}", best_mp)
+            parts.append(f"mha_pair->{best_mp}")
+            t_xla = t_by_pair[best_mp]
+        else:
+            t_xla = timeit(
+                jax.jit(lambda r, pp: _xla_block(r, pp, H)), rows, p,
+                iters=6)
+            parts.append(f"xla:{t_xla * 1e3:7.2f}")
         route = "pallas" if best_t <= t_xla else "xla"
-        parts.append(f"xla:{t_xla * 1e3:7.2f}  -> {route}")
+        parts.append(f"-> {route}")
         print("  ".join(parts))
         autotune.record("attn_route", f"{N},{C},{dtype_name}", route)
 
