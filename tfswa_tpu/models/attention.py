@@ -224,13 +224,22 @@ def _pallas_fwd_profitable(N: int, C: int, dtype=jnp.bfloat16) -> bool:
     return not (128 < N < 300 and C <= 64)
 
 
+def _chunk_target_bytes() -> int:
+    """In-flight prob-plane budget for the chunked XLA path (default
+    32 MB, measured optimal on v5e round 2; TFSWA_CHUNK_MB overrides for
+    re-sweeps after layout changes)."""
+    import os
+
+    return int(float(os.environ.get("TFSWA_CHUNK_MB", "32")) * 1024 * 1024)
+
+
 def _effective_chunk(chunk_size: int, N: int, num_heads: int) -> int:
     """Row-chunk size targeting ~32 MB of in-flight probs.  Materialised
     (chunk, H, N, N) score planes are pure HBM traffic; measured on v5e,
     chunk=1 beats the reference's fixed 16 by 4.5x at full-resolution
     N=1025 (35 vs 160 ms per block at R=518)."""
     return max(1, min(
-        chunk_size, (32 * 1024 * 1024) // max(num_heads * N * N * 4, 1)
+        chunk_size, _chunk_target_bytes() // max(num_heads * N * N * 4, 1)
     ))
 
 
@@ -546,7 +555,8 @@ class ShiftedWindowAttention(nn.Module, _RowBlockMixin):
         # same tactic as the reference's TSA/FSA chunk; the reference never
         # hits this because it separates one segment at a time).
         N = ws * ws
-        swa_chunk = max(16, (32 * 1024 * 1024) // (self.num_heads * N * N * 4))
+        swa_chunk = max(16, _chunk_target_bytes()
+                        // (self.num_heads * N * N * 4))
 
         rng = None
         if self.dropout > 0.0 and not deterministic:

@@ -160,6 +160,17 @@ def main() -> None:
         f"B={B} {args.seconds}s bf16 "
         f"{'remat' if cfg.model.remat else 'no-remat'} pallas"
     )
+
+    # Full-MUSDB wall-clock projection (VERDICT round-3 #2): 100 train
+    # tracks x ~3.5 min, random-offset segments -> ~860 steps/epoch at
+    # batch 4, the reference recipe's 300 epochs
+    # (reference: scripts/train.py:64, PROJECT_SUMMARY.md:303 <48 h A100).
+    steps_per_epoch = 860 * 4 // B
+    proj_h = results["full_ms"] / 1e3 * steps_per_epoch * 300 / 3600
+    results["musdb_300ep_proj_hours"] = round(proj_h, 1)
+    print(f"projected full-MUSDB training (300 epochs, "
+          f"{steps_per_epoch} steps/epoch at B={B}): {proj_h:.1f} h "
+          f"on one chip (reference target: <48 h on A100)")
     print(json.dumps(results))
 
 
