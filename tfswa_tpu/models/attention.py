@@ -123,21 +123,45 @@ def mha_rows(
 
     pair_heads (None = auto by shape/autotune) packs two heads per MXU
     tile at small N — value-identical; see _pair_heads_profitable."""
-    R, N, C = rows.shape
-    H = num_heads
-    D = C // H
     dtype = rows.dtype
+    C = rows.shape[2]
     qkv = jnp.einsum("rnc,ck->rnk", rows, qkv_kernel.astype(dtype))
     q, k, v = qkv[..., :C], qkv[..., C:2 * C], qkv[..., 2 * C:]  # (R, N, C)
+    out = attention_core(
+        q, k, v, num_heads, mask=mask,
+        dropout_rate=dropout_rate, dropout_rng=dropout_rng,
+        pair_heads=pair_heads,
+    )
+    out = jnp.einsum("rnc,ck->rnk", out, proj_kernel.astype(dtype))
+    return out + proj_bias.astype(dtype)
 
-    # MXU-dense layout (same tricks as the fused Pallas kernel, in plain
-    # XLA, so jax.grad's transposed matmuls inherit dense shapes too —
-    # this path is the remat/backward workhorse):
-    #   - per-head scores contract the full C lanes against a lane-masked
-    #     K (zeros outside head h's D lanes keep the math per-head exact)
-    #     instead of contracting the tiny head_dim D=4;
-    #   - the AV product runs transposed, (D, N) @ (N, N): the N-sized
-    #     dims ride lanes/contraction, only D rides sublanes.
+
+def attention_core(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    num_heads: int,
+    mask: Optional[jnp.ndarray] = None,
+    dropout_rate: float = 0.0,
+    dropout_rng=None,
+    pair_heads: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Multi-head scores/softmax/AV on (R, N, C) q/k/v -> (R, N, C),
+    shared by mha_rows and the int8 serving path (ops/int8.py).
+
+    MXU-dense layout (same tricks as the fused Pallas kernel, in plain
+    XLA, so jax.grad's transposed matmuls inherit dense shapes too —
+    this path is the remat/backward workhorse):
+      - per-head scores contract the full C lanes against a lane-masked
+        K (zeros outside head h's D lanes keep the math per-head exact)
+        instead of contracting the tiny head_dim D=4;
+      - the AV product runs transposed, (D, N) @ (N, N): the N-sized
+        dims ride lanes/contraction, only D rides sublanes.
+    """
+    R, N, C = q.shape
+    H = num_heads
+    D = C // H
+    dtype = q.dtype
     scale = D ** -0.5
     lanes = jnp.arange(C)
     head_mask = (
@@ -197,9 +221,7 @@ def mha_rows(
             weights = _dropout(weights, dropout_rate, dropout_rng)
         vT = v.reshape(R, N, H, D).transpose(0, 2, 3, 1)  # (R, H, D, m)
         oT = jnp.einsum("rhdm,rhmn->rhdn", vT, weights)   # (R, H, D, n)
-    out = oT.transpose(0, 3, 1, 2).reshape(R, N, C)
-    out = jnp.einsum("rnc,ck->rnk", out, proj_kernel.astype(dtype))
-    return out + proj_bias.astype(dtype)
+    return oT.transpose(0, 3, 1, 2).reshape(R, N, C)
 
 
 def _pallas_fwd_profitable(N: int, C: int, dtype=jnp.bfloat16) -> bool:

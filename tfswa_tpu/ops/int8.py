@@ -110,22 +110,20 @@ def int8_mha_rows(
     activation x activation (both sides dynamic) where int8 showed no win in
     the kernel ablation, and masks are accuracy-critical.
     """
+    from ..models.attention import attention_core
+
     R, N, C = rows.shape
-    H = num_heads
-    D = C // H
     sc = act_scales or {}
     used = {}
     qkv, used["qkv"] = int8_dense(rows, qkv_kernel, act_scale=sc.get("qkv"))
-    qkv = qkv.reshape(R, N, 3, H, D)
-    q = qkv[:, :, 0].transpose(0, 2, 1, 3)
-    k = qkv[:, :, 1].transpose(0, 2, 1, 3)
-    v = qkv[:, :, 2].transpose(0, 2, 1, 3)
-    scores = jnp.einsum(
-        "rhnd,rhmd->rhnm", q, k, preferred_element_type=jnp.float32
-    ) * (D ** -0.5)
-    weights = jax.nn.softmax(scores, axis=-1)
-    out = jnp.einsum("rhnm,rhmd->rhnd", weights, v)
-    out = out.transpose(0, 2, 1, 3).reshape(R, N, C)
+    # qkv stays f32 (int8_dense dequantizes to f32): the attention core's
+    # precision matches the pre-refactor form exactly
+    q, k, v = qkv[..., :C], qkv[..., C:2 * C], qkv[..., 2 * C:]
+    # Same MXU-dense (lane-masked, transposed-AV, head-paired at small N)
+    # f32 attention core as the bf16 path — the int8 win is confined to
+    # the weight matmuls; the previous naive per-head D-contraction form
+    # left the (N, N) score matmuls 4/128-lane sparse.
+    out = attention_core(q, k, v, num_heads)
     out, used["proj"] = int8_dense(out, proj_kernel, proj_bias,
                                    act_scale=sc.get("proj"))
     return out, used
