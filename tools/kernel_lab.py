@@ -23,9 +23,10 @@ Variants:
             The paired AV contracts 2N = 128 FULL lanes (vs N=64 padded),
             with per-head v/ones rows key-masked so off-diagonal
             exp2 garbage never enters outputs or denominators.
-  exp2bf16  prod with exp2 taken on bf16 scores (VPU rate probe; the
-            softmax arg loses ~8 mantissa bits — fidelity printed
-            by --check before any adoption decision)
+  exp2bf16  prod with exp2 taken on bf16 scores.  DIAGNOSTIC ONLY (is a
+            shape VPU-bound?): at trained-score magnitudes (log2 scores
+            O(30)) the bf16 softmax arg loses up to 3.6% of weight mass
+            (measured numerically) — disqualified as a serving default.
 
 The stage ablation (--ablate) reuses the round-1 methodology on the
 current production form: qkv-only -> +score matmuls -> +exp2 -> full,
