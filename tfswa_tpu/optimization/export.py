@@ -1,9 +1,12 @@
 """Deployment export + inference benchmarking.
 
-The reference exports ONNX / TorchScript (reference: export.py:17-224).  The
-TPU-native equivalents are:
+The reference exports ONNX / TorchScript (reference: export.py:17-224).
+Artifacts here:
+  - real ONNX via a self-contained torch mirror (export_to_onnx);
+  - a reference-loadable torch checkpoint (export_torch_checkpoint);
   - StableHLO serialization via jax.export — portable, runnable from any
-    XLA-backed runtime (documented substitution for ONNX);
+    XLA-backed runtime;
+  - TF SavedModel via jax2tf;
   - AOT compilation (jit(...).lower().compile()) for in-process serving.
 
 benchmark utilities mirror the reference's (reference: export.py:287-363):
@@ -11,6 +14,7 @@ ms/iter, throughput, and audio real-time factor.
 """
 from __future__ import annotations
 
+import contextlib
 import json
 import time
 from typing import Callable, Dict, Optional, Tuple
@@ -116,6 +120,168 @@ def export_savedmodel(
         if not diff < 1e-4:  # explicit raise: asserts vanish under python -O
             raise RuntimeError(f"SavedModel verification failed: {diff}")
     return info
+
+
+def _build_mirror(model: TFSWAUNet, variables: Dict):
+    from .torch_mirror import mirror_from_variables
+
+    return mirror_from_variables(
+        in_channels=model.in_channels,
+        out_channels=model.out_channels,
+        variables=jax.device_get(variables),
+        depths=tuple(model.depths),
+        dims=tuple(model.dims),
+        window_size=model.window_size,
+        shift_size=model.shift_size,
+        num_heads=model.num_heads,
+        mlp_ratio=model.mlp_ratio,
+        use_shift_mask=model.use_shift_mask,
+    )
+
+
+@contextlib.contextmanager
+def _onnx_proto_passthrough():
+    """Let torch.onnx.export run without the `onnx` package installed.
+
+    The TorchScript exporter serializes the ModelProto itself; its one hard
+    dependency on `onnx` is `_add_onnxscript_fn`, a post-step that scans the
+    finished proto for custom onnxscript function ops and returns the bytes
+    UNCHANGED when none are registered (we register none — see
+    torch/onnx/_internal/torchscript_exporter/onnx_proto_utils.py).  When
+    `onnx` is importable the original is kept; otherwise the step is patched
+    to the identity it would have been.
+    """
+    try:
+        import onnx  # noqa: F401
+
+        yield
+        return
+    except ImportError:
+        pass
+    from torch.onnx._internal.torchscript_exporter import onnx_proto_utils
+
+    orig = onnx_proto_utils._add_onnxscript_fn
+    onnx_proto_utils._add_onnxscript_fn = (
+        lambda model_bytes, custom_opsets: model_bytes
+    )
+    try:
+        yield
+    finally:
+        onnx_proto_utils._add_onnxscript_fn = orig
+
+
+def export_to_onnx(
+    model: TFSWAUNet,
+    variables: Dict,
+    output_path: str,
+    input_shape: Tuple[int, ...] = (1, 2, 1025, 259),
+    opset_version: int = 14,
+    verify: bool = True,
+) -> Dict:
+    """Real ONNX export (reference: export.py:17-139, same canonical input
+    shape and opset 14).
+
+    The eval-mode forward is exported by tracing a self-contained torch
+    mirror (optimization/torch_mirror.py) loaded with the converted JAX
+    variables; `verify` checks the mirror elementwise against the JAX
+    forward on a random probe (< 1e-4) — i.e. the traced graph's semantics,
+    not just its serialization.  onnxruntime parity (reference:
+    export.py:100-129) is documented as an offline step: this environment
+    has no onnxruntime, and the traced graph equals the verified mirror.
+
+    The batch axis is exported dynamic.  The time axis is NOT (unlike the
+    reference's declared-but-unsound dynamic time axis): SWA's pad-to-window
+    arithmetic is baked at trace time, so a dynamic time axis would be
+    silently wrong for other lengths — export one artifact per segment
+    length instead.
+    """
+    import torch
+
+    mirror = _build_mirror(model, variables)
+    rng = np.random.default_rng(0)
+    probe = rng.standard_normal(input_shape).astype(np.float32)
+
+    info: Dict = {
+        "path": output_path,
+        "input_shape": list(input_shape),
+        "opset_version": opset_version,
+    }
+    if verify:
+        forward = make_forward_fn(model, variables)
+        ref_out = np.asarray(forward(jnp.asarray(probe)))
+        with torch.no_grad():
+            mirror_out = mirror(torch.from_numpy(probe)).numpy()
+        diff = float(np.max(np.abs(ref_out - mirror_out)))
+        info["max_abs_diff_vs_jax"] = diff
+        if not diff < 1e-4:
+            raise RuntimeError(f"torch mirror disagrees with JAX: {diff}")
+
+    with _onnx_proto_passthrough():
+        torch.onnx.export(
+            mirror,
+            (torch.from_numpy(probe),),
+            output_path,
+            opset_version=opset_version,
+            dynamo=False,
+            input_names=["spectrogram"],
+            output_names=["masks"],
+            dynamic_axes={"spectrogram": {0: "batch"}, "masks": {0: "batch"}},
+        )
+
+    import os
+
+    size = os.path.getsize(output_path)
+    n_params = sum(
+        int(np.asarray(p).size)
+        for p in jax.tree_util.tree_leaves(variables["params"])
+    )
+    if size < 4 * n_params:  # weights are embedded f32 — must dominate
+        raise RuntimeError(
+            f"ONNX artifact suspiciously small: {size} bytes for "
+            f"{n_params} params"
+        )
+    info["bytes"] = size
+    return info
+
+
+def export_torch_checkpoint(
+    model: TFSWAUNet, variables: Dict, output_path: str
+) -> Dict:
+    """Save trained JAX variables as a reference-format torch checkpoint.
+
+    Closes the interop loop: evaluation.inference already loads reference
+    ``.pt`` files; this emits one the REFERENCE code itself can load
+    (``{'model_state_dict': ..., 'config': ...}``, the subset of the
+    reference Trainer's checkpoint dict its eval loader reads, reference:
+    trainer.py:525-554, inference.py:317-341).
+    """
+    import torch
+
+    from ..utils.torch_compat import variables_to_torch_state_dict
+
+    sd_np = variables_to_torch_state_dict(
+        jax.device_get(variables), tuple(model.depths)
+    )
+    state_dict = {
+        k: torch.from_numpy(np.array(v)) for k, v in sd_np.items()
+    }
+    ckpt = {
+        "model_state_dict": state_dict,
+        "config": {
+            "in_channels": model.in_channels,
+            "out_channels": model.out_channels,
+            "depths": list(model.depths),
+            "dims": list(model.dims),
+            "window_size": model.window_size,
+            "shift_size": model.shift_size,
+            "num_heads": model.num_heads,
+        },
+    }
+    torch.save(ckpt, output_path)
+    return {
+        "path": output_path,
+        "num_tensors": len(state_dict),
+    }
 
 
 def load_stablehlo(path: str) -> Callable:

@@ -163,6 +163,41 @@ def build_mapping(depths: Sequence[int]) -> list:
     return entries
 
 
+_INVERSE_TRANSFORMS = {
+    _conv_w: lambda a: np.transpose(a, (3, 2, 0, 1)),
+    _deconv_w: lambda a: np.transpose(a, (2, 3, 0, 1)),
+    _linear_w: np.transpose,
+    None: lambda a: a,
+}
+
+
+def variables_to_torch_state_dict(
+    variables: Mapping, depths: Sequence[int]
+) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`torch_state_dict_to_variables`: flax variables ->
+    reference-named torch state_dict arrays (float32).
+
+    The emitted keys follow the reference module tree exactly, so the dict
+    loads both into :class:`..optimization.torch_mirror.TorchTFSWAUNetMirror`
+    and into the reference implementation itself (reference:
+    tfswa_unet.py:56-145).  ``num_batches_tracked`` buffers are emitted as 0
+    for every BatchNorm (torch tracks them; flax has no equivalent).
+    """
+    sd: Dict[str, np.ndarray] = {}
+    for t_name, f_path, transform in build_mapping(depths):
+        node = variables[f_path[0]]
+        for key in f_path[1:]:
+            if key not in node:
+                raise KeyError(f"missing flax leaf: {'/'.join(f_path)}")
+            node = node[key]
+        arr = np.asarray(node, dtype=np.float32)
+        sd[t_name] = _INVERSE_TRANSFORMS[transform](arr)
+        if t_name.endswith(".running_var"):
+            tracked = t_name[: -len("running_var")] + "num_batches_tracked"
+            sd[tracked] = np.asarray(0, dtype=np.int64)
+    return sd
+
+
 def torch_state_dict_to_variables(
     state_dict: Mapping[str, "np.ndarray"], depths: Sequence[int]
 ) -> Dict:

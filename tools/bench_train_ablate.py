@@ -59,6 +59,11 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--seconds", type=float, default=6.0)
     ap.add_argument("--iters", type=int, default=6)
+    ap.add_argument("--chunk-sweep", type=str, default=None,
+                    help="comma-separated TFSWA_CHUNK_MB budgets: time the "
+                         "fwdbwd variant at each in-flight prob-plane budget "
+                         "and exit (re-sweeps the round-2 32 MB optimum "
+                         "after the dense/paired layout changes)")
     ap.add_argument("--no-remat", action="store_true",
                     help="store block inputs instead of nn.remat: the fused "
                          "kernel's custom VJP already recomputes internally, "
@@ -111,6 +116,21 @@ def main() -> None:
         return source_separation_loss(
             pred_mags, target_mags, use_mrstft=False
         )["total_loss"]
+
+    if args.chunk_sweep:
+        # Each budget is read at trace time (_chunk_target_bytes), so a
+        # fresh jit wrapper per value retraces with the new chunk sizes.
+        sweep = {}
+        for mb in args.chunk_sweep.split(","):
+            os.environ["TFSWA_CHUNK_MB"] = mb
+            f = jax.jit(jax.grad(loss_value))
+            t = timeit(f, state.params, state.batch_stats, mixtures,
+                       targets, iters=args.iters)
+            sweep[mb] = round(t * 1e3, 1)
+            print(f"fwdbwd @ {mb:>4} MB  {t * 1e3:8.1f} ms", flush=True)
+        print(json.dumps({"chunk_sweep_fwdbwd_ms": sweep,
+                          "device": str(jax.devices()[0])}))
+        return
 
     jit_pre = jax.jit(preprocess)
     jit_fwd = jax.jit(loss_value)

@@ -36,4 +36,9 @@ timeout 4800 python tools/bench_train_ablate.py \
     > runs/round4/train_ablate.log 2>&1
 tail -8 runs/round4/train_ablate.log | tee -a runs/round4/driver.log
 
+log "=== 6. chunk-budget sweep (fwdbwd at 16..256 MB prob planes) ==="
+timeout 4800 python tools/bench_train_ablate.py --chunk-sweep 16,32,64,128,256 \
+    > runs/round4/chunk_sweep.log 2>&1
+tail -7 runs/round4/chunk_sweep.log | tee -a runs/round4/driver.log
+
 log "=== done (quality A/B + int8 A/B driven separately) ==="
