@@ -73,19 +73,18 @@ class SourceSeparator:
         # float16 halves host<->device audio traffic (66 dB SNR, far below
         # separation noise floors); float32 is the parity default.
         self.transfer_dtype = np.dtype(transfer_dtype)
-        # device_ola: run the ENTIRE overlap-add on device — one h2d of the
-        # mono track, stems come back as per-window accumulations whose d2h
-        # overlaps the next window's compute.  Off by default: the host path
+        # device_ola: run the ENTIRE overlap-add on device — stems come back
+        # as per-window accumulations.  Off by default: the host path
         # reproduces the reference's exact last-segment clamping
         # (reference: inference.py:193-196); the device path uses a uniform
         # zero-padded grid (same values except within the final partial hop).
         #
         # The track is processed as fixed windows of ``ola_window_segments``
-        # consecutive segments (sized from ola_bucket_seconds), each one
-        # jitted call slicing the on-device track at a traced offset — ONE
-        # compile for every track length, and window k+1's compute hides
-        # window k's d2h behind it (the stems d2h is ~0.6 s of a 120 s
-        # track's budget on the 35 MB/s dev tunnel).
+        # consecutive segments (sized from ola_bucket_seconds) — ONE compile
+        # for every track length.  Each window rides its own h2d and every
+        # window call is dispatched before any fetch, so window k's compute
+        # hides window k+1's h2d AND window k-1's d2h (audio transfers are
+        # ~0.9 s of a 120 s track's budget on the 35 MB/s dev tunnel).
         self.device_ola = device_ola
         self.ola_bucket_samples = int(
             ola_bucket_seconds * stft_processor.sample_rate
@@ -146,7 +145,7 @@ class SourceSeparator:
                 self._device_ola_impl,
                 in_shardings=(
                     variables_shardings(self.variables, mesh),
-                    replicated, replicated, replicated,
+                    replicated, replicated,
                 ),
                 out_shardings=replicated,
             )
@@ -202,21 +201,22 @@ class SourceSeparator:
         return audio                                        # (B, n_stems, S) f32
 
     def _device_ola_impl(
-        self, variables, track: jnp.ndarray, off: jnp.ndarray,
-        n_valid: jnp.ndarray,
+        self, variables, window: jnp.ndarray, n_valid: jnp.ndarray,
     ) -> jnp.ndarray:
-        """One OLA window: ola_window_segments consecutive segments sliced
-        from the on-device track at traced offset ``off``, masked to the
-        first ``n_valid``; returns the UN-normalized Hann-weighted
-        accumulation (n_stems, W).  The traced offset means one compile
-        serves every track length; normalization happens on host (the norm
-        is analytic — no device traffic needed for it)."""
+        """One OLA window: ola_window_segments consecutive segments of the
+        (W,)-sample window, masked to the first ``n_valid``; returns the
+        UN-normalized Hann-weighted accumulation (n_stems, W).  The window
+        length is fixed, so one compile serves every track length;
+        normalization happens on host (the norm is analytic — no device
+        traffic needed for it).  Each window rides its own h2d (window
+        slices overlap by seg-hop, so total traffic matches one whole-track
+        transfer) so window k+1's h2d hides under window k's compute —
+        a whole-track h2d would stall the first window on the full
+        transfer."""
         seg, hop = self.segment_samples, self.hop_samples
         K = self.ola_window_segments
         W = (K - 1) * hop + seg
-        window = jax.lax.dynamic_slice(
-            track, (off[0],), (W,)
-        ).astype(jnp.float32)
+        window = window.astype(jnp.float32)
         idx = np.arange(K)[:, None] * hop + np.arange(seg)[None, :]
         segments = window[idx]                               # (K, seg)
 
@@ -263,9 +263,10 @@ class SourceSeparator:
     def _separate_long_device(
         self, audio: np.ndarray, stems: List[str]
     ) -> Dict[str, np.ndarray]:
-        """Pipelined whole-track device OLA: all window calls are dispatched
-        before any result is fetched, so window k's (slow-tunnel) d2h rides
-        under window k+1's compute."""
+        """Pipelined windowed device OLA: all window calls are dispatched
+        before any result is fetched, with PER-WINDOW h2d transfers — so
+        window k's compute hides both window k+1's (slow-tunnel) h2d and
+        window k-1's d2h."""
         total = audio.shape[1]
         seg, hop = self.segment_samples, self.hop_samples
         K = self.ola_window_segments
@@ -280,18 +281,19 @@ class SourceSeparator:
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec
 
-            track_dev = jax.device_put(
-                track, NamedSharding(self.mesh, PartitionSpec())
+            put = functools.partial(
+                jax.device_put,
+                device=NamedSharding(self.mesh, PartitionSpec()),
             )
         else:
-            track_dev = jnp.asarray(track)
+            put = jnp.asarray
 
         handles = []
         for w in range(n_win):
-            off = jnp.asarray([w * K * hop], jnp.int32)
+            o = w * K * hop
             nv = jnp.asarray([min(K, n_seg - w * K)], jnp.int32)
             handles.append(
-                self._jit_device_ola(self.variables, track_dev, off, nv)
+                self._jit_device_ola(self.variables, put(track[o:o + W]), nv)
             )
         acc = np.zeros((self.n_stems, S_needed), np.float32)
         for w, h in enumerate(handles):
