@@ -199,14 +199,18 @@ def _fused_block_kernel(
         # Head-PAIRED small-N form (round 4): at SWA shapes (N = 64) each
         # per-head score matmul occupies one 128x128 MXU tile at 6.25%
         # utilization.  Heads (2p, 2p+1) have disjoint lane masks, so
-        # stacking their masked K along the key dim and duplicating Q
-        # along the query dim yields one (2N, C) @ (C, 2N) matmul whose
-        # diagonal (N, N) blocks are the two heads' exact scores — half
-        # the executed tiles — and the paired AV contracts 2N = 128 FULL
-        # lanes.  Off-diagonal blocks hold the other head's real scores
-        # (Q is unmasked), but the key-masked v/ones rows zero their
-        # contribution to outputs and denominators alike.
-        q2 = jnp.concatenate([q, q], axis=1)                # (Rb, 2N, C)
+        # stacking their masked K along the key dim yields one
+        # (2N, C) @ (C, N) matmul whose (N, N) sublane-halves are the two
+        # heads' exact scores — half the executed score tiles.  Q is NOT
+        # duplicated along the query dim: the duplicated columns would be
+        # identical (same q against the same masked-K stack), so the
+        # narrow form computes the same scores at half the exp2 volume
+        # and half the live-plane VMEM.  Each head's AV then contracts
+        # the full 2N = 128 key sublanes with the other head's key
+        # columns zeroed in its V rows, so every extracted output part
+        # sits at vector offset (0, 0) — Mosaic's tpu.concatenate
+        # requires matching input offsets on non-concat dims (the
+        # previous diagonal-block form failed to compile on hardware).
         zeros_dn = jnp.zeros((Rb, D + 1, N), cd)
 
         def _pair_scores(pr):
@@ -215,11 +219,11 @@ def _fused_block_kernel(
             kb = jnp.where((lane >= b * D) & (lane < (b + 1) * D), k, 0)
             khh = jnp.concatenate([ka, kb], axis=1).astype(cd)
             return jax.lax.dot_general(
-                khh, q2, (((2,), (2,)), ((0,), (0,))),
+                khh, q, (((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
-            )                                               # (Rb, 2Nm, 2Nn)
+            )                                               # (Rb, 2Nm, Nn)
 
-        accT_parts = [None] * H
+        accT_parts = []
         sT = _pair_scores(0)
         for pr in range(H // 2):
             sT_next = _pair_scores(pr + 1) if pr + 1 < H // 2 else None
@@ -229,20 +233,18 @@ def _fused_block_kernel(
                 [vT[:, a * D:(a + 1) * D, :], ones_row], axis=1)
             vb = jnp.concatenate(
                 [vT[:, b * D:(b + 1) * D, :], ones_row], axis=1)
-            v2 = jnp.concatenate([
-                jnp.concatenate([va, jnp.zeros_like(zeros_dn)], axis=2),
-                jnp.concatenate([zeros_dn, vb], axis=2),
-            ], axis=1)                                      # (Rb, 2D+2, 2Nm)
-            oe = jax.lax.dot_general(
-                v2, pT, (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            )                                               # (Rb, 2D+2, 2Nn)
-            den_a = oe[:, D:D + 1, :N]
-            den_b = oe[:, 2 * D + 1:2 * D + 2, N:]
-            accT_parts[a] = oe[:, :D, :N] \
-                * pl.reciprocal(den_a, approx=False)
-            accT_parts[b] = oe[:, D + 1:2 * D + 1, N:] \
-                * pl.reciprocal(den_b, approx=False)
+            # head a weights live in pT's first N key sublanes, head b's
+            # in the last N; zero columns keep the cross terms out.
+            v2a = jnp.concatenate([va, zeros_dn], axis=2)   # (Rb, D+1, 2Nm)
+            v2b = jnp.concatenate([zeros_dn, vb], axis=2)
+            for vv in (v2a, v2b):
+                oe = jax.lax.dot_general(
+                    vv, pT, (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                )                                           # (Rb, D+1, Nn)
+                den = oe[:, D:D + 1, :]
+                accT_parts.append(
+                    oe[:, :D, :] * pl.reciprocal(den, approx=False))
             sT = sT_next
         accT = jnp.concatenate(accT_parts, axis=1)          # (Rb, C, N)
     else:
