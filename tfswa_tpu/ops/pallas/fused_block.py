@@ -311,16 +311,23 @@ def _bilinear_weights(qkv_kernel, num_heads: int):
     return a, wv
 
 
-def _fused_block_impl(rows, p, num_heads: int, with_mid: bool = False):
+def _fused_block_impl(rows, p, num_heads: int, with_mid: bool = False,
+                      pair_heads: bool | None = None):
     """rows (R, N, C), p: RowBlockParams-like namedtuple of arrays.
 
     with_mid=True (training) additionally returns the post-attention
     intermediate; the inference path keeps the single-output kernel the
-    Rb measurements were taken on."""
+    Rb measurements were taken on.  pair_heads=None (production) lets the
+    autotune gate decide; True/False force the form (tools/kernel_lab.py
+    A/Bs the real kernel this way instead of keeping a copy)."""
     R, N, C = rows.shape
     dtype = rows.dtype
     hidden = p.fc1_kernel.shape[1]
-    paired = _pair_heads_profitable(N, C, num_heads)
+    if pair_heads is None:
+        paired = _pair_heads_profitable(N, C, num_heads)
+    else:
+        paired = bool(pair_heads) and 2 * N <= 128 \
+            and num_heads % 2 == 0 and N % 8 == 0
     Rb = _row_block(N, C, hidden, dtype, n_outputs=2 if with_mid else 1,
                     paired=paired)
     pad = (-R) % Rb

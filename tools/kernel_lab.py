@@ -13,16 +13,14 @@ BENCH.md).  Three modes:
 Variants:
   prod      production fused_row_block (rank-D pipelined; control)
   xla       chunked-XLA block path (_xla_block)
-  hpair     head-PAIRED small-N kernel.  At SWA shapes (N=64) every
-            per-head score matmul (64, 32) @ (32, 64) occupies a full
-            128x128 MXU tile at 6.25% utilization.  Two heads' lane
-            masks are disjoint, so stacking [K_masked(2h); K_masked(2h+1)]
-            along the key dim and duplicating Q along the query dim makes
-            one (128, C) @ (C, 128) matmul whose diagonal (64, 64) blocks
-            are the two heads' exact scores — 2x fewer executed tiles.
-            The paired AV contracts 2N = 128 FULL lanes (vs N=64 padded),
-            with per-head v/ones rows key-masked so off-diagonal
-            exp2 garbage never enters outputs or denominators.
+  hpair     production kernel with head-pairing FORCED on (prod routes
+            pairing via the autotune "fused_pair" gate; this pins the A/B
+            regardless of cache state).  See fused_block.py's pair_heads
+            branch for the form: masked-K stacks of heads (2p, 2p+1) give
+            one (2N, C) @ (C, N) score matmul — half the executed score
+            tiles at N=64 — and each head's AV contracts the full
+            2N = 128 key sublanes with the other head's columns zeroed.
+  nopair    production kernel with head-pairing FORCED off.
   exp2bf16  prod with exp2 taken on bf16 scores.  DIAGNOSTIC ONLY (is a
             shape VPU-bound?): at trained-score magnitudes (log2 scores
             O(30)) the bf16 softmax arg loses up to 3.6% of weight mass
@@ -57,7 +55,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from tfswa_tpu.models.attention import RowBlockParams
 from tfswa_tpu.ops.pallas.fused_block import (
-    SCORE_CLAMP, _erf, _row_block, _xla_block, fused_row_block,
+    SCORE_CLAMP, _erf, _fused_block_impl, _row_block, _xla_block,
+    fused_row_block,
 )
 from tfswa_tpu.ops.pallas._compat import default_interpret
 
@@ -184,91 +183,6 @@ def _kernel_prod(
     out_ref[:] = out.astype(out_ref.dtype)
 
 
-# --------------------------------------------------------------------------
-# hpair: head-paired scores + full-lane AV for small N (2N <= 128)
-# --------------------------------------------------------------------------
-def _kernel_hpair(
-    x_ref, ln1s_ref, ln1b_ref, wq_ref, wk_ref, wv_ref, wo_ref, ob_ref,
-    ln2s_ref, ln2b_ref, fc1_ref, f1b_ref, fc2_ref, f2b_ref,
-    out_ref, *, num_heads: int,
-):
-    Rb, N, C = x_ref.shape
-    H = num_heads
-    D = C // H
-    cd = x_ref.dtype
-
-    xf = x_ref[:].astype(jnp.float32)
-    normed = _ln(xf, ln1s_ref, ln1b_ref).astype(cd)
-
-    q = jax.lax.dot_general(
-        normed, wq_ref[:], (((2,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(cd)
-    k = jax.lax.dot_general(
-        normed, wk_ref[:], (((2,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(cd)
-    v = jax.lax.dot_general(
-        normed, wv_ref[:], (((2,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(cd)
-    vT = jnp.swapaxes(v, 1, 2)                              # (Rb, C, N)
-    ones_row = jnp.ones((Rb, 1, N), cd)
-    zeros_dn = jnp.zeros((Rb, D + 1, N), cd)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (Rb, N, C), 2)
-    # Q duplicated along the query dim: off-diagonal score blocks hold the
-    # OTHER head's real scores, but the key-masked v/ones rows below zero
-    # their contribution to outputs and denominators alike.
-    q2 = jnp.concatenate([q, q], axis=1)                    # (Rb, 2N, C)
-
-    def _khh(p):
-        a, b = 2 * p, 2 * p + 1
-        ka = jnp.where((lane >= a * D) & (lane < (a + 1) * D), k, 0)
-        kb = jnp.where((lane >= b * D) & (lane < (b + 1) * D), k, 0)
-        return jnp.concatenate([ka, kb], axis=1).astype(cd)  # (Rb, 2N, C)
-
-    def _scores(p):
-        # keys m on sublanes (2N: head 2p then 2p+1), queries n on lanes
-        return jax.lax.dot_general(
-            _khh(p), q2, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )                                                   # (Rb, 2N, 2N)
-
-    accT_parts = [None] * H
-    sT = _scores(0)
-    for p in range(H // 2):
-        sT_next = _scores(p + 1) if p + 1 < H // 2 else None
-        pT = jnp.exp2(jnp.minimum(sT, SCORE_CLAMP)).astype(cd)
-        a, b = 2 * p, 2 * p + 1
-        va = jnp.concatenate([vT[:, a * D:(a + 1) * D, :], ones_row], axis=1)
-        vb = jnp.concatenate([vT[:, b * D:(b + 1) * D, :], ones_row], axis=1)
-        v2 = jnp.concatenate([
-            jnp.concatenate([va, jnp.zeros_like(zeros_dn)], axis=2),
-            jnp.concatenate([zeros_dn, vb], axis=2),
-        ], axis=1)                                          # (Rb, 2D+2, 2N)
-        oe = jax.lax.dot_general(
-            v2, pT, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )                                                   # (Rb, 2D+2, 2N)
-        den_a = oe[:, D:D + 1, :N]
-        den_b = oe[:, 2 * D + 1:2 * D + 2, N:]
-        accT_parts[a] = oe[:, :D, :N] * pl.reciprocal(den_a, approx=False)
-        accT_parts[b] = oe[:, D + 1:2 * D + 1, N:] \
-            * pl.reciprocal(den_b, approx=False)
-        sT = sT_next
-    accT = jnp.concatenate(accT_parts, axis=1)              # (Rb, C, N)
-    acc = jnp.swapaxes(accT, 1, 2)
-    attn = jax.lax.dot_general(
-        acc.astype(cd), wo_ref[:], (((2,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) + ob_ref[:].astype(jnp.float32)
-
-    y = xf + attn
-    out = _mlp_tail(y, ln2s_ref, ln2b_ref, fc1_ref, f1b_ref, fc2_ref,
-                    f2b_ref, cd)
-    out_ref[:] = out.astype(out_ref.dtype)
-
-
 def _call_kernel(kernel, rows, p, num_heads, rb_override=None):
     """Launch a lab kernel with the production wq/wk/wv weight prep."""
     R, N, C = rows.shape
@@ -325,10 +239,18 @@ def _call_kernel(kernel, rows, p, num_heads, rb_override=None):
 
 
 def block_hpair(rows, p, num_heads):
+    """Production fused kernel with head-pairing FORCED on (the production
+    `prod` variant routes pairing by the autotune gate; this pins the A/B
+    regardless of cache state)."""
     N = rows.shape[1]
     if 2 * N > 128 or num_heads % 2:
         raise ValueError("hpair targets 2N <= 128 with even heads")
-    return _call_kernel(_kernel_hpair, rows, p, num_heads)
+    return _fused_block_impl(rows, p, num_heads, pair_heads=True)
+
+
+def block_nopair(rows, p, num_heads):
+    """Production fused kernel with head-pairing FORCED off."""
+    return _fused_block_impl(rows, p, num_heads, pair_heads=False)
 
 
 def block_exp2bf16(rows, p, num_heads):
@@ -345,6 +267,7 @@ VARIANTS = {
     "prod": lambda r, p, H: fused_row_block(r, p, H),
     "xla": lambda r, p, H: _xla_block(r, p, H),
     "hpair": block_hpair,
+    "nopair": block_nopair,
     "exp2bf16": block_exp2bf16,
 }
 
