@@ -102,6 +102,7 @@ def _kernel_prod(
     x_ref, ln1s_ref, ln1b_ref, wq_ref, wk_ref, wv_ref, wo_ref, ob_ref,
     ln2s_ref, ln2b_ref, fc1_ref, f1b_ref, fc2_ref, f2b_ref,
     out_ref, *, num_heads: int, stage: str = "full", exp2_bf16: bool = False,
+    wo_fold: bool = False,
 ):
     Rb, N, C = x_ref.shape
     H = num_heads
@@ -139,8 +140,10 @@ def _kernel_prod(
 
     if stage == "scores":
         acc = jnp.zeros((Rb, N, C), jnp.float32)
+        w = min(C, N)
         for h in range(H):
-            acc = acc + jnp.swapaxes(_scores(h)[:, :C, :], 1, 2)
+            s = jnp.swapaxes(_scores(h)[:, :w, :], 1, 2)   # (Rb, N, w)
+            acc = acc + jnp.pad(s, ((0, 0), (0, 0), (0, C - w)))
         out_ref[:] = acc.astype(out_ref.dtype)
         return
 
@@ -168,16 +171,36 @@ def _kernel_prod(
         accT_parts.append(oeT[:, :D, :] * pl.reciprocal(denomT, approx=False))
         sT = sT_next
     accT = jnp.concatenate(accT_parts, axis=1)
-    acc = jnp.swapaxes(accT, 1, 2)
-    if stage == "exp2":
-        out_ref[:] = acc.astype(out_ref.dtype)
+    if stage == "av":
+        # Stop after AV/denominator: every accT element stays live via a
+        # lane reduction (no dead-code elimination), but the big
+        # (Rb, C, N) -> (Rb, N, C) relayout, wo, and the MLP are skipped.
+        red = jnp.sum(accT, axis=2, keepdims=True)          # (Rb, C, 1)
+        out_ref[:] = jnp.broadcast_to(
+            jnp.swapaxes(red, 1, 2), (Rb, N, C)).astype(out_ref.dtype)
         return
-    attn = jax.lax.dot_general(
-        acc.astype(cd), wo_ref[:], (((2,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) + ob_ref[:].astype(jnp.float32)
+    if wo_fold:
+        # Fold the output-projection contraction over accT's SUBLANE dim:
+        # attn[r, n, e] = sum_c accT[r, c, n] wo[c, e] — no explicit
+        # (Rb, C, N) -> (Rb, N, C) swapaxes relayout before the matmul.
+        attn = jax.lax.dot_general(
+            accT.astype(cd), wo_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + ob_ref[:].astype(jnp.float32)
+    else:
+        acc = jnp.swapaxes(accT, 1, 2)
+        if stage == "exp2":
+            out_ref[:] = acc.astype(out_ref.dtype)
+            return
+        attn = jax.lax.dot_general(
+            acc.astype(cd), wo_ref[:], (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + ob_ref[:].astype(jnp.float32)
 
     y = xf + attn
+    if stage == "attn":
+        out_ref[:] = y.astype(out_ref.dtype)
+        return
     out = _mlp_tail(y, ln2s_ref, ln2b_ref, fc1_ref, f1b_ref, fc2_ref,
                     f2b_ref, cd)
     out_ref[:] = out.astype(out_ref.dtype)
@@ -263,12 +286,21 @@ def block_stage(stage, rows, p, num_heads):
         functools.partial(_kernel_prod, stage=stage), rows, p, num_heads)
 
 
+def block_wofold(rows, p, num_heads):
+    """Full prod-form kernel with the output projection contracted over
+    accT's sublane dim — the (Rb, C, N) -> (Rb, N, C) relayout between the
+    AV epilogue and wo is folded into the matmul."""
+    return _call_kernel(
+        functools.partial(_kernel_prod, wo_fold=True), rows, p, num_heads)
+
+
 VARIANTS = {
     "prod": lambda r, p, H: fused_row_block(r, p, H),
     "xla": lambda r, p, H: _xla_block(r, p, H),
     "hpair": block_hpair,
     "nopair": block_nopair,
     "exp2bf16": block_exp2bf16,
+    "wofold": block_wofold,
 }
 
 
@@ -340,7 +372,7 @@ def main():
         p = make_params(C, rng, dtype)
         line = f"{label:15s} R={R:5d} N={N:4d} C={C:3d}"
         if args.ablate:
-            for stage in ("qkv", "scores", "exp2", "full"):
+            for stage in ("qkv", "scores", "exp2", "av", "attn", "full"):
                 try:
                     t = timeit(jax.jit(functools.partial(
                         block_stage, stage, num_heads=H)),
