@@ -133,6 +133,8 @@ def main() -> None:
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--skip-two-output", action="store_true",
                     help="skip the training-kernel (two-output) Rb sweep")
+    ap.add_argument("--shapes", default="",
+                    help="substring filter on the shape label, e.g. SWA")
     args = ap.parse_args()
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     dtype_name = jnp.dtype(dtype).name
@@ -144,6 +146,8 @@ def main() -> None:
     kind = autotune.device_kind()
     print(f"device kind: {kind}")
     for label, R, N, C, H in SHAPES:
+        if args.shapes and args.shapes not in label:
+            continue
         rng = np.random.default_rng(0)
         rows = jnp.asarray(rng.standard_normal((R, N, C)), dtype)
         p = make_params(C, rng, dtype)

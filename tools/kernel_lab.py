@@ -319,12 +319,17 @@ def make_params(C, rng, dtype):
 
 
 def timeit(fn, rows, p, iters=8):
-    out = fn(rows, p)
+    """Chained timing through the axon tunnel (block_until_ready does not
+    sync; identical in-flight dispatches memoize).  Multi-output fns (the
+    two-output training kernel) chain through their FIRST output — all
+    outputs are still materialized by the executable each iteration."""
+    first = lambda o: o[0] if isinstance(o, (tuple, list)) else o
+    out = first(fn(rows, p))
     _ = float(jnp.sum(out.astype(jnp.float32)))
     t0 = time.perf_counter()
     cur = rows
     for _ in range(iters):
-        cur = fn(cur, p)
+        cur = first(fn(cur, p))
     _ = float(jnp.sum(cur.astype(jnp.float32)))
     return (time.perf_counter() - t0) / iters
 
