@@ -112,3 +112,27 @@ def test_remove_and_provenance(tuned_dir):
     autotune.record_provenance()
     prov = autotune.lookup("_meta", "provenance")
     assert set(prov) == {"device_kind", "commit", "date"}
+
+
+def test_r_bucketed_route_wins_and_band_isolation(tuned_dir):
+    """Round-4 regression: one unqualified (N, C) route key let the 3 s
+    serving band (R=259) poison the flagship 10 s FSA route (R=1025) at
+    the same (862, 32) — bench dropped 18.6 -> 13.9 as/s.  R-bucketed
+    entries must win over the R-free entry, and an R outside any
+    measured bucket must fall back to the flagship entry."""
+    assert autotune.r_bucket(259) == 256
+    assert autotune.r_bucket(1025) == 1024
+    assert autotune.r_bucket(512) == 512
+
+    autotune.record("attn_route", "862,32,bfloat16", "pallas")
+    autotune.record("attn_route", "862,32,bfloat16,r256", "xla")
+
+    # serving-band R resolves its own bucket; flagship R falls through to
+    # the R-free flagship entry; no-R lookups keep the flagship route
+    assert autotune.attention_route(862, 32, "bfloat16", R=259) == "xla"
+    assert autotune.attention_route(862, 32, "bfloat16", R=1025) == "pallas"
+    assert autotune.attention_route(862, 32, "bfloat16") == "pallas"
+
+    # the gate consumes R: same (N, C), different route by row count
+    assert _pallas_fwd_profitable(862, 32, jnp.bfloat16, R=1025)
+    assert not _pallas_fwd_profitable(862, 32, jnp.bfloat16, R=259)

@@ -224,7 +224,8 @@ def attention_core(
     return oT.transpose(0, 3, 1, 2).reshape(R, N, C)
 
 
-def _pallas_fwd_profitable(N: int, C: int, dtype=jnp.bfloat16) -> bool:
+def _pallas_fwd_profitable(N: int, C: int, dtype=jnp.bfloat16,
+                           R: Optional[int] = None) -> bool:
     """Forward routing gate for the fused Pallas block kernel (measured on
     v5e vs the memory-targeted chunked-XLA path): Pallas wins at
     full-resolution N (60 vs 113 ms at N=1025/C=32, 55 vs 75 at N=517), at
@@ -237,10 +238,13 @@ def _pallas_fwd_profitable(N: int, C: int, dtype=jnp.bfloat16) -> bool:
     sizes (bench.py A/B), so the exception stops at C<=64.
 
     A per-chip measured route (ops/pallas/autotune.py, populated by
-    tools/autotune.py) overrides this v5e-measured heuristic."""
+    tools/autotune.py) overrides this v5e-measured heuristic; the row
+    count R qualifies the lookup (r-bucketed entries win) so a serving-
+    band measurement at small R never overrides the flagship route at
+    the same (N, C)."""
     from ..ops.pallas import autotune
 
-    tuned = autotune.attention_route(N, C, jnp.dtype(dtype).name)
+    tuned = autotune.attention_route(N, C, jnp.dtype(dtype).name, R=R)
     if tuned is not None:
         return tuned == "pallas"
     return not (128 < N < 300 and C <= 64)
@@ -288,7 +292,8 @@ def row_transformer_block(
     use_dropout = dropout_rate > 0.0 and dropout_rng is not None
 
     if attention_impl == "pallas" and mask is None and not use_dropout \
-            and _pallas_fwd_profitable(rows.shape[1], rows.shape[2], dtype):
+            and _pallas_fwd_profitable(rows.shape[1], rows.shape[2], dtype,
+                                       R=rows.shape[0]):
         # Whole block in one fused Pallas kernel: LN1 -> attention ->
         # +residual -> LN2 -> MLP -> +residual, no HBM round trips between.
         # Shapes where the chunked-XLA path measures faster fall through.

@@ -207,9 +207,31 @@ def row_block(N: int, C: int, dtype_name: str = "bfloat16",
     return None
 
 
-def attention_route(N: int, C: int,
-                    dtype_name: str = "bfloat16") -> Optional[str]:
-    """Measured 'pallas' | 'xla' block route for this shape, or None."""
+def r_bucket(R: int) -> int:
+    """Power-of-two row-count bucket (2^floor(log2 R)); routes measured at
+    one R are served only to Rs in the same bucket via the r-qualified
+    key, falling back to the R-free flagship entry otherwise."""
+    b = 1
+    while b * 2 <= R:
+        b *= 2
+    return b
+
+
+def attention_route(N: int, C: int, dtype_name: str = "bfloat16",
+                    R: Optional[int] = None) -> Optional[str]:
+    """Measured 'pallas' | 'xla' block route for this shape, or None.
+
+    The round-4 sweep surfaced why R must qualify the lookup: at
+    (N=862, C=32) the 10 s FSA stage (R=1025) runs 1.55x faster on
+    Pallas, while the 3 s serving band (R=259, same N and C) measured
+    marginally XLA — one unqualified key made the serving band poison
+    the flagship route (bench 18.6 -> 13.9 as/s).  R-bucketed entries
+    win over the R-free flagship entry; sweeps record the R-free key
+    only for flagship-R shapes (tools/autotune.py)."""
+    if R is not None:
+        v = lookup("attn_route", f"{N},{C},{dtype_name},r{r_bucket(R)}")
+        if v is not None:
+            return str(v)
     v = lookup("attn_route", f"{N},{C},{dtype_name}")
     if v is None and dtype_name == "bfloat16":
         v = lookup("attn_route", f"{N},{C}")

@@ -188,7 +188,14 @@ def main() -> None:
         route = "pallas" if best_t <= t_xla else "xla"
         parts.append(f"-> {route}")
         print("  ".join(parts))
-        autotune.record("attn_route", f"{N},{C},{dtype_name}", route)
+        # r-bucketed key always; the R-free key only for flagship-R shapes
+        # (the serving band must not override the flagship route at the
+        # same (N, C) — that poisoning cost 18.6 -> 13.9 as/s in round 4).
+        autotune.record(
+            "attn_route",
+            f"{N},{C},{dtype_name},r{autotune.r_bucket(R)}", route)
+        if "3s" not in label:
+            autotune.record("attn_route", f"{N},{C},{dtype_name}", route)
 
     autotune.record_provenance(kind)
     print(f"cache written: {autotune._path()}")
