@@ -356,6 +356,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--check", action="store_true")
     ap.add_argument("--ablate", action="store_true")
+    ap.add_argument("--grad", action="store_true",
+                    help="time the BACKWARD per stage shape: jax.grad of "
+                         "each variant wrt (rows, params), summed-square "
+                         "loss (a ones cotangent would constant-fold)")
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--shapes", default="")
@@ -389,10 +393,20 @@ def main():
             continue
         for name in names:
             fn = VARIANTS[name]
+            if args.grad:
+                def gfn(r, pp, _f=fn):
+                    return jax.grad(
+                        lambda rr, qq: jnp.sum(
+                            jnp.square(_f(rr, qq, H).astype(jnp.float32))),
+                        argnums=(0, 1),
+                    )(r, pp)
+                run = jax.jit(gfn)
+            else:
+                run = jax.jit(lambda r, pp: fn(r, pp, H))
             try:
-                t = timeit(jax.jit(lambda r, pp: fn(r, pp, H)),
-                           rows, p, iters=args.iters)
-                line += f"  {name} {t*1e3:8.2f} ms"
+                t = timeit(run, rows, p, iters=args.iters)
+                tag = f"grad:{name}" if args.grad else name
+                line += f"  {tag} {t*1e3:8.2f} ms"
             except Exception as exc:
                 line += f"  {name} FAILED: {str(exc)[:80]}"
         print(line)
