@@ -140,7 +140,8 @@ def _erf(x):
 def _fused_block_kernel(
     x_ref, ln1s_ref, ln1b_ref, wq_ref, wk_ref, wv_ref, wo_ref, ob_ref,
     ln2s_ref, ln2b_ref, fc1_ref, f1b_ref, fc2_ref, f2b_ref,
-    out_ref, mid_ref=None, *, num_heads: int, pair_heads: bool = False,
+    out_ref, mid_ref=None, acc_ref=None, den_ref=None, *,
+    num_heads: int, pair_heads: bool = False,
 ):
     Rb, N, C = x_ref.shape
     H = num_heads
@@ -224,6 +225,7 @@ def _fused_block_kernel(
             )                                               # (Rb, 2Nm, Nn)
 
         accT_parts = []
+        denT_parts = []
         sT = _pair_scores(0)
         for pr in range(H // 2):
             sT_next = _pair_scores(pr + 1) if pr + 1 < H // 2 else None
@@ -243,12 +245,14 @@ def _fused_block_kernel(
                     preferred_element_type=jnp.float32,
                 )                                           # (Rb, D+1, Nn)
                 den = oe[:, D:D + 1, :]
+                denT_parts.append(den)
                 accT_parts.append(
                     oe[:, :D, :] * pl.reciprocal(den, approx=False))
             sT = sT_next
         accT = jnp.concatenate(accT_parts, axis=1)          # (Rb, C, N)
     else:
         accT_parts = []
+        denT_parts = []
         sT = _scores(0)
         for h in range(H):
             sT_next = _scores(h + 1) if h + 1 < H else None
@@ -261,11 +265,19 @@ def _fused_block_kernel(
                 preferred_element_type=jnp.float32,
             )                                               # (Rb, D+1, Nn)
             denomT = oeT[:, D:D + 1, :]
+            denT_parts.append(denomT)
             accT_parts.append(
                 oeT[:, :D, :] * pl.reciprocal(denomT, approx=False))
             sT = sT_next
         accT = jnp.concatenate(accT_parts, axis=1)          # (Rb, C, N)
     acc = jnp.swapaxes(accT, 1, 2)                          # (Rb, N, C)
+    if acc_ref is not None:
+        # post-softmax attention output (pre-projection) + per-head softmax
+        # denominators, exported on the training path so the fused backward
+        # kernel (_fused_block_bwd_kernel) reconstructs oeT and d_denominator
+        # without re-running the AV matmuls.
+        acc_ref[:] = acc.astype(acc_ref.dtype)
+        den_ref[:] = jnp.concatenate(denT_parts, axis=1).astype(den_ref.dtype)
     attn = jax.lax.dot_general(
         acc.astype(cd), wo_ref[:], (((2,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -364,10 +376,18 @@ def _fused_block_impl(rows, p, num_heads: int, with_mid: bool = False,
             bcast((C, hidden)), bcast((hidden,)),
             bcast((hidden, C)), bcast((C,)),
         ],
-        out_specs=(out_block, out_block) if with_mid else out_block,
+        out_specs=(
+            (out_block, out_block, out_block,
+             pl.BlockSpec((Rb, H, N), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM))
+            if with_mid else out_block
+        ),
         out_shape=(
-            (jax.ShapeDtypeStruct((Rp, N, C), dtype),) * 2 if with_mid
-            else jax.ShapeDtypeStruct((Rp, N, C), dtype)
+            (jax.ShapeDtypeStruct((Rp, N, C), dtype),
+             jax.ShapeDtypeStruct((Rp, N, C), dtype),
+             jax.ShapeDtypeStruct((Rp, N, C), dtype),
+             jax.ShapeDtypeStruct((Rp, H, N), jnp.float32))
+            if with_mid else jax.ShapeDtypeStruct((Rp, N, C), dtype)
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * Rp * N * (num_heads * (C * C + 2 * N * C)
@@ -385,11 +405,376 @@ def _fused_block_impl(rows, p, num_heads: int, with_mid: bool = False,
         p.fc1_kernel.astype(dtype), p.fc1_bias.astype(dtype),
         p.fc2_kernel.astype(dtype), p.fc2_bias.astype(dtype),
     )
-    out, mid = res if with_mid else (res, None)
+    if not with_mid:
+        return res[:R] if pad else res
+    out, mid, acc, den = res
     if pad:
-        out = out[:R]
-        mid = mid[:R] if with_mid else None
-    return (out, mid) if with_mid else out
+        out, mid, acc, den = out[:R], mid[:R], acc[:R], den[:R]
+    return out, mid, acc, den
+
+
+
+# ---------------------------------------------------------------------------
+# Fused block BACKWARD kernel (round 4).
+#
+# The round-4 grad attribution (tools/kernel_lab.py --grad, BENCH.md) showed
+# the training backward is ~3 HBM round trips of (N, N) score/prob planes
+# through the chunked-XLA VJP: at enc0 TSA the block grad costs 118 ms vs a
+# 23 ms fused forward.  This kernel runs the whole attention-half VJP plus
+# the LN2/MLP VJP in VMEM: scores are recomputed per head (flash-standard),
+# probs / d_probs / d_scores never leave VMEM, and the forward's exported
+# acc (post-softmax attention output) and den (per-head softmax
+# denominators) let it skip the AV recompute entirely.  Param grads are
+# f32-accumulated across the sequential Pallas grid (init at cell 0, +=
+# after), so one kernel call returns every RowBlockParams cotangent.
+# ---------------------------------------------------------------------------
+_LN2 = 0.6931471805599453          # ln(2): d exp2(x)/dx = exp2(x) * ln 2
+_INV_SQRT_2PI = 0.3989422804014327
+
+
+def _ln_fwd_stats(xf):
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + 1e-5)
+    return (xf - mean) * rstd, rstd
+
+
+def _ln_bwd(d_nhat, nhat, rstd):
+    """d wrt LN input given d wrt nhat = (x - mean) * rstd."""
+    m1 = jnp.mean(d_nhat, axis=-1, keepdims=True)
+    m2 = jnp.mean(d_nhat * nhat, axis=-1, keepdims=True)
+    return rstd * (d_nhat - m1 - nhat * m2)
+
+
+def _fused_block_bwd_kernel(
+    x_ref, mid_ref, acc_ref, den_ref, g_ref,
+    ln1s_ref, ln1b_ref, wq_ref, wk_ref, wv_ref, wo_ref,
+    ln2s_ref, ln2b_ref, fc1_ref, f1b_ref, fc2_ref, f2b_ref,
+    dx_ref, dln1s_ref, dln1b_ref, dwq_ref, dwk_ref, dwv_ref, dwo_ref,
+    dob_ref, dln2s_ref, dln2b_ref, dfc1_ref, df1b_ref, dfc2_ref, df2b_ref,
+    *, num_heads: int,
+):
+    Rb, N, C = x_ref.shape
+    H = num_heads
+    D = C // H
+    hidden = fc1_ref.shape[1]
+    cd = x_ref.dtype
+
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init_param_grads():
+        for ref in (dln1s_ref, dln1b_ref, dwq_ref, dwk_ref, dwv_ref,
+                    dwo_ref, dob_ref, dln2s_ref, dln2b_ref, dfc1_ref,
+                    df1b_ref, dfc2_ref, df2b_ref):
+            ref[:] = jnp.zeros_like(ref)
+
+    xf = x_ref[:].astype(jnp.float32)                       # (Rb, N, C)
+    g = g_ref[:].astype(jnp.float32)
+    midf = mid_ref[:].astype(jnp.float32)
+    acc = acc_ref[:]                                        # (Rb, N, C) cd
+    ln2s = ln2s_ref[:].astype(jnp.float32)
+
+    def flat(a):                                            # (Rb, N, X) -> 2d
+        return a.reshape(Rb * N, a.shape[2])
+
+    # ---- LN2 + MLP forward recompute, then its VJP (out = mid + h2) ----
+    nhat2, rstd2 = _ln_fwd_stats(midf)
+    n2 = nhat2 * ln2s + ln2b_ref[:].astype(jnp.float32)
+    n2c = n2.astype(cd)
+    h1pre = jax.lax.dot_general(
+        n2c, fc1_ref[:], (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + f1b_ref[:].astype(jnp.float32)
+    gl = 0.5 * (1.0 + _erf(h1pre * (2.0 ** -0.5)))          # GELU cdf factor
+    h1 = (h1pre * gl).astype(cd)
+
+    gc = g.astype(cd)
+    d_h1 = jax.lax.dot_general(                             # g @ fc2^T
+        gc, fc2_ref[:], (((2,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                       # (Rb, N, hidden)
+    dfc2_ref[:] += jax.lax.dot_general(                     # h1^T @ g
+        flat(h1), flat(gc), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    df2b_ref[:] += jnp.sum(g, axis=(0, 1))
+    # gelu'(x) = Phi(x) + x * phi(x)
+    d_h1pre = d_h1 * (
+        gl + h1pre * jnp.exp(-0.5 * h1pre * h1pre) * _INV_SQRT_2PI)
+    d_h1c = d_h1pre.astype(cd)
+    df1b_ref[:] += jnp.sum(d_h1pre, axis=(0, 1))
+    dfc1_ref[:] += jax.lax.dot_general(                     # n2^T @ d_h1pre
+        flat(n2c), flat(d_h1c), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    d_n2 = jax.lax.dot_general(                             # d_h1pre @ fc1^T
+        d_h1c, fc1_ref[:], (((2,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dln2s_ref[:] += jnp.sum(d_n2 * nhat2, axis=(0, 1))
+    dln2b_ref[:] += jnp.sum(d_n2, axis=(0, 1))
+    d_mid = g + _ln_bwd(d_n2 * ln2s, nhat2, rstd2)          # residual + LN2
+
+    # ---- attention half VJP: mid = x + acc @ wo + ob ----
+    d_midc = d_mid.astype(cd)
+    dob_ref[:] += jnp.sum(d_mid, axis=(0, 1))
+    dwo_ref[:] += jax.lax.dot_general(                      # acc^T @ d_mid
+        flat(acc), flat(d_midc), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    d_acc = jax.lax.dot_general(                            # d_mid @ wo^T
+        d_midc, wo_ref[:], (((2,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                       # (Rb, N, C) f32
+
+    # LN1 / q / k / v forward recompute (identical to the forward kernel)
+    nhat1, rstd1 = _ln_fwd_stats(xf)
+    n1 = nhat1 * ln1s_ref[:].astype(jnp.float32) \
+        + ln1b_ref[:].astype(jnp.float32)
+    normed = n1.astype(cd)
+    q = jax.lax.dot_general(
+        normed, wq_ref[:], (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(cd)
+    k = jax.lax.dot_general(
+        normed, wk_ref[:], (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(cd)
+    v = jax.lax.dot_general(
+        normed, wv_ref[:], (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(cd)
+    vT = jnp.swapaxes(v, 1, 2)                              # (Rb, C, N)
+    ones_row = jnp.ones((Rb, 1, N), cd)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (Rb, N, C), 2)
+    den = den_ref[:]                                        # (Rb, H, N) f32
+    accT = jnp.swapaxes(acc, 1, 2).astype(jnp.float32)      # (Rb, C, N)
+    d_accT = jnp.swapaxes(d_acc, 1, 2)                      # (Rb, C, N) f32
+
+    d_q = jnp.zeros((Rb, N, C), jnp.float32)
+    d_k = jnp.zeros((Rb, N, C), jnp.float32)
+    d_vT_parts = []
+    for h in range(H):
+        kh = jnp.where((lane >= h * D) & (lane < (h + 1) * D), k, 0) \
+            .astype(cd)
+        sT = jax.lax.dot_general(                           # score recompute
+            kh, q, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )                                                   # (Rb, Nm, Nn)
+        pT = jnp.exp2(jnp.minimum(sT, SCORE_CLAMP))
+
+        den_h = den[:, h:h + 1, :]                          # (Rb, 1, N)
+        r_h = pl.reciprocal(den_h, approx=False)
+        acc_hT = accT[:, h * D:(h + 1) * D, :]              # (Rb, D, N)
+        d_acc_hT = d_accT[:, h * D:(h + 1) * D, :]
+        oe_top = acc_hT * den_h                             # undo the 1/den
+        d_oe_top = d_acc_hT * r_h
+        d_den = -r_h * jnp.sum(d_acc_hT * acc_hT, axis=1, keepdims=True)
+        d_oe2 = jnp.concatenate([d_oe_top, d_den], axis=1).astype(cd)
+        del oe_top
+
+        v2_h = jnp.concatenate([vT[:, h * D:(h + 1) * D, :], ones_row],
+                               axis=1)                      # (Rb, D+1, Nm)
+        d_pT = jax.lax.dot_general(                         # v2^T @ d_oe2
+            v2_h, d_oe2, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )                                                   # (Rb, Nm, Nn)
+        d_sT = jnp.where(sT < SCORE_CLAMP, d_pT * pT * _LN2, 0.0)
+        d_sTc = d_sT.astype(cd)
+        pTc = pT.astype(cd)
+        # sT[m, n] = sum_c kh[m, c] q[n, c]
+        d_q = d_q + jax.lax.dot_general(                    # d_sT^T @ kh
+            d_sTc, kh, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )                                                   # (Rb, Nn, C)
+        d_kh = jax.lax.dot_general(                         # d_sT @ q
+            d_sTc, q, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )                                                   # (Rb, Nm, C)
+        d_k = d_k + jnp.where(
+            (lane >= h * D) & (lane < (h + 1) * D), d_kh, 0.0)
+        d_v2 = jax.lax.dot_general(                         # d_oe2 @ pT^T
+            d_oe2, pTc, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )                                                   # (Rb, D+1, Nm)
+        d_vT_parts.append(d_v2[:, :D, :])
+
+    d_v = jnp.swapaxes(jnp.concatenate(d_vT_parts, axis=1), 1, 2)
+
+    d_qc, d_kc, d_vc = (a.astype(cd) for a in (d_q, d_k, d_v))
+    d_normed = (
+        jax.lax.dot_general(d_qc, wq_ref[:], (((2,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+        + jax.lax.dot_general(d_kc, wk_ref[:], (((2,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+        + jax.lax.dot_general(d_vc, wv_ref[:], (((2,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    )
+    nc = normed  # cd
+    dwq_ref[:] += jax.lax.dot_general(
+        flat(nc), flat(d_qc), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dwk_ref[:] += jax.lax.dot_general(
+        flat(nc), flat(d_kc), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dwv_ref[:] += jax.lax.dot_general(
+        flat(nc), flat(d_vc), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dln1s_ref[:] += jnp.sum(d_normed * nhat1, axis=(0, 1))
+    dln1b_ref[:] += jnp.sum(d_normed, axis=(0, 1))
+
+    dx = d_mid + _ln_bwd(
+        d_normed * ln1s_ref[:].astype(jnp.float32), nhat1, rstd1)
+    dx_ref[:] = dx.astype(dx_ref.dtype)
+
+
+def _analytic_bwd_row_block(N: int, C: int, mlp_hidden: int) -> int:
+    """VMEM-bound Rb for the backward kernel: ~3 live (N, N) f32 planes
+    (sT/pT + d_pT + d_sT before reuse) plus ~20 O(N*C) tensors and two
+    O(N*hidden)."""
+    per_row = (
+        3 * N * _align128(N) * 4
+        + 22 * N * _align128(C) * 4
+        + 3 * N * _align128(mlp_hidden) * 4
+    )
+    cap = (4 * _VMEM_BUDGET) // max(per_row, 1)
+    return max(1, min(32, cap))
+
+
+def _bwd_row_block(N: int, C: int, mlp_hidden: int, dtype) -> int:
+    sublane = 16 if dtype == jnp.bfloat16 else 8
+    if N % sublane != 0:
+        return 1
+    from . import autotune
+
+    tuned = autotune.row_block(N, C, jnp.dtype(dtype).name, mlp_hidden, 1,
+                               variant="bwd")
+    if tuned is not None:
+        return tuned
+    return _analytic_bwd_row_block(N, C, mlp_hidden)
+
+
+def _pallas_bwd_profitable(N: int, C: int, dtype, R: int) -> bool:
+    """Routing gate for the fused backward kernel vs the chunked-XLA VJP.
+    Measured per chip (tools/autotune.py, "bwd_route"); without a
+    measurement the kernel stays OFF (the XLA path is the proven
+    fallback)."""
+    from . import autotune
+
+    v = autotune.lookup("bwd_route",
+                        f"{N},{C},{jnp.dtype(dtype).name}")
+    if v is None:
+        return False
+    return str(v) == "pallas"
+
+
+def _fused_block_bwd_impl(rows, mid, acc, den, g, p, num_heads: int):
+    """Run the fused backward kernel; returns (d_rows, dp) with dp shaped
+    like RowBlockParams (qkv re-assembled, wq grad re-scaled)."""
+    R, N, C = rows.shape
+    dtype = rows.dtype
+    hidden = p.fc1_kernel.shape[1]
+    H = num_heads
+    D = C // H
+    scale = (D ** -0.5) * 1.4426950408889634
+    wq = p.qkv_kernel[:, :C].astype(jnp.float32) * scale
+    wk = p.qkv_kernel[:, C:2 * C]
+    wv = p.qkv_kernel[:, 2 * C:]
+
+    Rb = _bwd_row_block(N, C, hidden, dtype)
+    pad = (-R) % Rb
+    if pad:
+        z = lambda a: jnp.pad(a, ((0, pad), (0, 0), (0, 0)))
+        rows, mid, acc, g = z(rows), z(mid), z(acc), z(g)
+        # padded rows must keep den finite (1/den rides the VJP); their
+        # cotangents are zero so they contribute nothing to any grad
+        den = jnp.pad(den, ((0, pad), (0, 0), (0, 0)), constant_values=1.0)
+    Rp = R + pad
+
+    def bcast(shape):
+        nd = len(shape)
+        return pl.BlockSpec(shape, lambda i: (0,) * nd,
+                            memory_space=pltpu.VMEM)
+
+    row_block = pl.BlockSpec((Rb, N, C), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+    den_block = pl.BlockSpec((Rb, H, N), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+    f32 = jnp.float32
+    outs = pl.pallas_call(
+        functools.partial(_fused_block_bwd_kernel, num_heads=num_heads),
+        grid=(Rp // Rb,),
+        interpret=default_interpret(),
+        in_specs=[
+            row_block, row_block, row_block, den_block, row_block,
+            bcast((C,)), bcast((C,)),
+            bcast((C, C)), bcast((C, C)), bcast((C, C)), bcast((C, C)),
+            bcast((C,)), bcast((C,)),
+            bcast((C, hidden)), bcast((hidden,)),
+            bcast((hidden, C)), bcast((C,)),
+        ],
+        out_specs=(
+            row_block,
+            bcast((C,)), bcast((C,)),
+            bcast((C, C)), bcast((C, C)), bcast((C, C)), bcast((C, C)),
+            bcast((C,)), bcast((C,)), bcast((C,)),
+            bcast((C, hidden)), bcast((hidden,)),
+            bcast((hidden, C)), bcast((C,)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((Rp, N, C), dtype),
+            jax.ShapeDtypeStruct((C,), f32), jax.ShapeDtypeStruct((C,), f32),
+            jax.ShapeDtypeStruct((C, C), f32),
+            jax.ShapeDtypeStruct((C, C), f32),
+            jax.ShapeDtypeStruct((C, C), f32),
+            jax.ShapeDtypeStruct((C, C), f32),
+            jax.ShapeDtypeStruct((C,), f32),
+            jax.ShapeDtypeStruct((C,), f32), jax.ShapeDtypeStruct((C,), f32),
+            jax.ShapeDtypeStruct((C, hidden), f32),
+            jax.ShapeDtypeStruct((hidden,), f32),
+            jax.ShapeDtypeStruct((hidden, C), f32),
+            jax.ShapeDtypeStruct((C,), f32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Rp * N * (num_heads * (2 * C * C + 8 * N * C)
+                                + 6 * C * C + 6 * C * hidden),
+            bytes_accessed=Rp * N * C * 2 * 5,
+            transcendentals=Rp * num_heads * N * N,
+        ),
+    )(
+        rows, mid, acc, den, g,
+        p.norm1_scale.astype(dtype), p.norm1_bias.astype(dtype),
+        wq.astype(dtype), wk.astype(dtype), wv.astype(dtype),
+        p.proj_kernel.astype(dtype),
+        p.norm2_scale.astype(dtype), p.norm2_bias.astype(dtype),
+        p.fc1_kernel.astype(dtype), p.fc1_bias.astype(dtype),
+        p.fc2_kernel.astype(dtype), p.fc2_bias.astype(dtype),
+    )
+    (dx, dln1s, dln1b, dwq, dwk, dwv, dwo, dob, dln2s, dln2b,
+     dfc1, df1b, dfc2, df2b) = outs
+    if pad:
+        dx = dx[:R]
+    # d qkv[:, :C] = d wq_scaled * scale (wq_scaled = qkv[:, :C] * scale)
+    dqkv = jnp.concatenate([dwq * scale, dwk, dwv], axis=1)
+
+    def like(a, ref):
+        return a.astype(ref.dtype)
+
+    dp = type(p)(
+        norm1_scale=like(dln1s, p.norm1_scale),
+        norm1_bias=like(dln1b, p.norm1_bias),
+        qkv_kernel=like(dqkv, p.qkv_kernel),
+        proj_kernel=like(dwo, p.proj_kernel),
+        proj_bias=like(dob, p.proj_bias),
+        norm2_scale=like(dln2s, p.norm2_scale),
+        norm2_bias=like(dln2b, p.norm2_bias),
+        fc1_kernel=like(dfc1, p.fc1_kernel),
+        fc1_bias=like(df1b, p.fc1_bias),
+        fc2_kernel=like(dfc2, p.fc2_kernel),
+        fc2_bias=like(df2b, p.fc2_bias),
+    )
+    return dx, dp
 
 
 def _xla_attn_half(rows, p, num_heads: int, chunk: int = 16):
@@ -454,23 +839,31 @@ def fused_row_block(rows, p, num_heads):
 
 
 def _fwd(rows, p, num_heads):
-    # The kernel exports the post-attention intermediate (mid) alongside the
-    # output: saving it lets the backward differentiate the MLP half from
-    # mid directly, so the expensive chunked attention forward runs ONCE in
-    # the backward (the jax.vjp primal pass) instead of twice.  Under
-    # nn.remat the residuals are not stored — the block forward (one Pallas
-    # call) is recomputed at backward time, which is still far cheaper than
-    # a second chunked-XLA attention pass.
-    out, mid = _fused_block_impl(rows, p, num_heads, with_mid=True)
-    return out, (rows, mid, p)
+    # The kernel exports the post-attention intermediate (mid), the
+    # post-softmax attention output (acc) and the per-head softmax
+    # denominators (den) alongside the output: the fused backward kernel
+    # (round 4) starts from them without re-running the AV matmuls, and the
+    # MLP half differentiates from mid directly.  Under nn.remat the
+    # residuals are not stored — the block forward (one Pallas call) is
+    # recomputed at backward time, which is still far cheaper than a second
+    # chunked-XLA attention pass.
+    out, mid, acc, den = _fused_block_impl(rows, p, num_heads, with_mid=True)
+    return out, (rows, mid, acc, den, p)
 
 
 def _bwd(num_heads, residuals, g):
-    # Differentiate the composed block via the chunked-XLA remat path: the
-    # memory-targeted effective chunk (chunk=1 at full resolution) measured
-    # faster than a fused Pallas backward at every model shape (BENCH.md
-    # round 2), so the Pallas backward kernel was removed in round 3.
-    rows, mid, p = residuals
+    # Two measured routes (gated per shape by "bwd_route",
+    # tools/autotune.py):
+    #   - the fused Pallas backward kernel (_fused_block_bwd_kernel): the
+    #     whole attention-half VJP + LN2/MLP VJP in VMEM, probs and score
+    #     cotangents never touch HBM (round 4 — the grad attribution showed
+    #     the XLA VJP costs ~3 HBM round trips of (N, N) planes);
+    #   - the chunked-XLA remat path (the proven fallback; round-2/3
+    #     default), memory-targeted effective chunk.
+    rows, mid, acc, den, p = residuals
+    N, C = rows.shape[1], rows.shape[2]
+    if _pallas_bwd_profitable(N, C, rows.dtype, rows.shape[0]):
+        return _fused_block_bwd_impl(rows, mid, acc, den, g, p, num_heads)
     _, mlp_vjp = jax.vjp(lambda m, pp: _xla_mlp_half(m, pp), mid, p)
     d_mid, dp_mlp = mlp_vjp(g)
     _, attn_vjp = jax.vjp(
