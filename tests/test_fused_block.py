@@ -191,3 +191,23 @@ def test_fused_backward_kernel_matches_xla(monkeypatch, tmp_path,
         for a, x, t in zip(leaves_f, leaves_x, leaves_t):
             assert max_err(a, t) <= 1.5 * max_err(x, t) + 1e-3, (
                 max_err(a, t), max_err(x, t))
+
+
+def test_fused_int8_serving_path_close_to_f32():
+    """fused_row_block_int8 (serving-only int8 score/AV core) must stay
+    within dynamic-int8 fidelity of the f32 fused path (same quantization
+    family as the measured XLA int8 path: end-to-end SDR delta < 1e-4 dB
+    on a trained checkpoint, BENCH.md round 2)."""
+    from tfswa_tpu.ops.pallas.fused_block import fused_row_block_int8
+
+    R, N, C, H = 5, 130, 32, 8
+    rows = (jax.random.normal(jax.random.PRNGKey(11), (R, N, C), jnp.float32)
+            * 0.5)
+    p = _params(jax.random.PRNGKey(12), C)
+    with pltpu.force_tpu_interpret_mode():
+        ref = fused_row_block(rows, p, H)
+        got = fused_row_block_int8(rows, p, H)
+    err = float(jnp.max(jnp.abs(got - ref)))
+    scale = float(jnp.max(jnp.abs(ref)))
+    assert err / scale < 5e-3, (err, scale)
+    assert bool(jnp.isfinite(got).all())

@@ -291,14 +291,24 @@ def row_transformer_block(
     dtype = rows.dtype
     use_dropout = dropout_rate > 0.0 and dropout_rng is not None
 
-    if attention_impl == "pallas" and mask is None and not use_dropout \
+    if attention_impl in ("pallas", "pallas_int8") and mask is None \
+            and not use_dropout \
             and _pallas_fwd_profitable(rows.shape[1], rows.shape[2], dtype,
                                        R=rows.shape[0]):
         # Whole block in one fused Pallas kernel: LN1 -> attention ->
         # +residual -> LN2 -> MLP -> +residual, no HBM round trips between.
         # Shapes where the chunked-XLA path measures faster fall through.
-        from ..ops.pallas.fused_block import fused_row_block
+        # "pallas_int8" (serving only) additionally runs the score/AV
+        # matmuls int8 on the MXU at shapes where that measures faster
+        # (the "fused_int8" autotune gate).
+        from ..ops.pallas import autotune
+        from ..ops.pallas.fused_block import (fused_row_block,
+                                              fused_row_block_int8)
 
+        if attention_impl == "pallas_int8" and str(autotune.lookup(
+                "fused_int8",
+                f"{rows.shape[1]},{rows.shape[2]}")) == "1":
+            return fused_row_block_int8(rows, p, num_heads)
         return fused_row_block(rows, p, num_heads)
 
     normed = _layer_norm(rows, p.norm1_scale, p.norm1_bias)

@@ -141,7 +141,7 @@ def _fused_block_kernel(
     x_ref, ln1s_ref, ln1b_ref, wq_ref, wk_ref, wv_ref, wo_ref, ob_ref,
     ln2s_ref, ln2b_ref, fc1_ref, f1b_ref, fc2_ref, f2b_ref,
     out_ref, mid_ref=None, acc_ref=None, den_ref=None, *,
-    num_heads: int, pair_heads: bool = False,
+    num_heads: int, pair_heads: bool = False, int8_attn: bool = False,
 ):
     Rb, N, C = x_ref.shape
     H = num_heads
@@ -250,6 +250,63 @@ def _fused_block_kernel(
                     oe[:, :D, :] * pl.reciprocal(den, approx=False))
             sT = sT_next
         accT = jnp.concatenate(accT_parts, axis=1)          # (Rb, C, N)
+    elif int8_attn:
+        # INT8 attention core (round 4, SERVING path): on v5e the MXU runs
+        # int8 x int8 -> int32 at 2x the bf16 rate (394 vs 197 TOPS), and
+        # in THIS kernel the score/AV matmuls are MXU-bound (VMEM-resident
+        # planes) rather than HBM-bound like the XLA int8 path — so int8
+        # actually pays here at full 10 s shapes.  Dynamic symmetric
+        # quantization, same construction the measured XLA int8 path uses
+        # (ops/int8.py; end-to-end SDR delta < 1e-4 dB on a trained
+        # checkpoint, BENCH.md round 2):
+        #   - q, k, v: per-row-block scales (max|.| / 127);
+        #   - probs: per-query-column scales (pT >= 0, so column max);
+        #   - the softmax-denominator ones row keeps its own exact scale
+        #     (127 * 1/127) so the flash denominator trick survives intact.
+        f32 = jnp.float32
+        qf, kf, vf = (a.astype(f32) for a in (q, k, v))
+        sq = jnp.max(jnp.abs(qf), axis=(1, 2), keepdims=True) / 127.0
+        sk = jnp.max(jnp.abs(kf), axis=(1, 2), keepdims=True) / 127.0
+        sv = jnp.max(jnp.abs(vf), axis=(1, 2), keepdims=True) / 127.0
+        qi = jnp.round(qf / sq).astype(jnp.int8)
+        ki = jnp.round(kf / sk).astype(jnp.int8)
+        viT = jnp.swapaxes(jnp.round(vf / sv).astype(jnp.int8), 1, 2)
+        ones_i = jnp.full((Rb, 1, N), 127, jnp.int8)
+        ss = sq * sk                                        # (Rb, 1, 1)
+
+        def _scores_i8(h):
+            khi = jnp.where(
+                (lane >= h * D) & (lane < (h + 1) * D), ki, 0)
+            return jax.lax.dot_general(
+                khi, qi, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.int32,
+            )                                               # (Rb, Nm, Nn) i32
+
+        accT_parts = []
+        denT_parts = []
+        sTi = _scores_i8(0)
+        for h in range(H):
+            sTi_next = _scores_i8(h + 1) if h + 1 < H else None
+            sT = sTi.astype(f32) * ss
+            pT = jnp.exp2(jnp.minimum(sT, SCORE_CLAMP))     # (Rb, Nm, Nn) f32
+            sp = jnp.max(pT, axis=1, keepdims=True) / 127.0  # per column n
+            pTi = jnp.round(pT / sp).astype(jnp.int8)
+            v_hiT = jnp.concatenate(
+                [viT[:, h * D:(h + 1) * D, :], ones_i], axis=1)
+            oeTi = jax.lax.dot_general(
+                v_hiT, pTi, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.int32,
+            )                                               # (Rb, D+1, Nn) i32
+            # undo scales: v rows carry sv, the ones row carries 1/127;
+            # every column carries sp
+            oeT = oeTi.astype(f32) * sp
+            denomT = oeT[:, D:D + 1, :] * (1.0 / 127.0)
+            denT_parts.append(denomT)
+            accT_parts.append(
+                oeT[:, :D, :] * sv
+                * pl.reciprocal(denomT, approx=False))
+            sTi = sTi_next
+        accT = jnp.concatenate(accT_parts, axis=1)          # (Rb, C, N)
     else:
         accT_parts = []
         denT_parts = []
@@ -324,18 +381,23 @@ def _bilinear_weights(qkv_kernel, num_heads: int):
 
 
 def _fused_block_impl(rows, p, num_heads: int, with_mid: bool = False,
-                      pair_heads: bool | None = None):
+                      pair_heads: bool | None = None,
+                      int8_attn: bool = False):
     """rows (R, N, C), p: RowBlockParams-like namedtuple of arrays.
 
     with_mid=True (training) additionally returns the post-attention
     intermediate; the inference path keeps the single-output kernel the
     Rb measurements were taken on.  pair_heads=None (production) lets the
     autotune gate decide; True/False force the form (tools/kernel_lab.py
-    A/Bs the real kernel this way instead of keeping a copy)."""
+    A/Bs the real kernel this way instead of keeping a copy).
+    int8_attn=True (SERVING only, see fused_row_block_int8) runs the
+    score/AV matmuls int8 x int8 -> int32 on the MXU."""
     R, N, C = rows.shape
     dtype = rows.dtype
     hidden = p.fc1_kernel.shape[1]
-    if pair_heads is None:
+    if int8_attn:
+        paired = False          # int8 core is the unpaired large-N form
+    elif pair_heads is None:
         paired = _pair_heads_profitable(N, C, num_heads)
     else:
         paired = bool(pair_heads) and 2 * N <= 128 \
@@ -361,7 +423,7 @@ def _fused_block_impl(rows, p, num_heads: int, with_mid: bool = False,
     out_block = pl.BlockSpec((Rb, N, C), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM)
     kernel = functools.partial(_fused_block_kernel, num_heads=num_heads,
-                               pair_heads=paired)
+                               pair_heads=paired, int8_attn=int8_attn)
     res = pl.pallas_call(
         kernel,
         grid=(Rp // Rb,),
@@ -706,6 +768,11 @@ def _fused_block_bwd_impl(rows, mid, acc, den, g, p, num_heads: int):
         functools.partial(_fused_block_bwd_kernel, num_heads=num_heads),
         grid=(Rp // Rb,),
         interpret=default_interpret(),
+        # the whole-block VJP holds ~3 (N, N) f32 planes plus ~22 O(N*C)
+        # tensors per cell: 17.7 MB at N=1025 — over Mosaic's 16 MB default
+        # scoped-vmem limit but far under the chip's 128 MB VMEM
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         in_specs=[
             row_block, row_block, row_block, den_block, row_block,
             bcast((C,)), bcast((C,)),
@@ -875,3 +942,12 @@ def _bwd(num_heads, residuals, g):
 
 
 fused_row_block.defvjp(_fwd, _bwd)
+
+
+def fused_row_block_int8(rows, p, num_heads):
+    """SERVING-only fused block with the int8 attention core (no custom
+    VJP — training always uses the bf16/f32 paths).  Interpret-mode
+    fidelity vs the f32 fused path: ~2e-4 relative; same dynamic
+    symmetric quantization family as the measured XLA int8 path
+    (end-to-end SDR delta < 1e-4 dB, BENCH.md round 2)."""
+    return _fused_block_impl(rows, p, num_heads, int8_attn=True)

@@ -127,12 +127,45 @@ def _sweep_fused(rows, p, H, dtype_name, hidden, parts, two_output):
     return results.get(best_pair)
 
 
+def _sweep_bwd_route(rows, p, H, dtype_name, parts):
+    """A/B the training backward: fused Pallas bwd kernel vs the chunked-XLA
+    VJP, through the production custom-VJP entry (jax.grad of
+    fused_row_block wrt rows AND params).  Records the winner in
+    "bwd_route"."""
+    from tfswa_tpu.ops.pallas.fused_block import fused_row_block
+
+    N, C = rows.shape[1], rows.shape[2]
+    key = f"{N},{C},{dtype_name}"
+
+    def gfn(r, pp):
+        return jax.grad(
+            lambda rr, qq: jnp.sum(
+                jnp.square(fused_row_block(rr, qq, H).astype(jnp.float32))),
+            argnums=(0, 1),
+        )(r, pp)
+
+    t_by_route = {}
+    for route in ("xla", "pallas"):
+        autotune.record("bwd_route", key, route)
+        try:
+            t_by_route[route] = timeit(jax.jit(gfn), rows, p, iters=4)
+            parts.append(f"bwd/{route}:{t_by_route[route] * 1e3:7.2f}")
+        except Exception:
+            parts.append(f"bwd/{route}:FAIL")
+    best = min(t_by_route, key=t_by_route.get) if t_by_route else "xla"
+    autotune.record("bwd_route", key, best)
+    parts.append(f"bwd->{best}")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--dry", action="store_true", help="print, don't persist")
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--skip-two-output", action="store_true",
                     help="skip the training-kernel (two-output) Rb sweep")
+    ap.add_argument("--bwd", action="store_true",
+                    help="also A/B the training backward route per shape "
+                         "(fused Pallas bwd kernel vs chunked-XLA VJP)")
     ap.add_argument("--shapes", default="",
                     help="substring filter on the shape label, e.g. SWA")
     args = ap.parse_args()
@@ -187,6 +220,8 @@ def main() -> None:
             parts.append(f"xla:{t_xla * 1e3:7.2f}")
         route = "pallas" if best_t <= t_xla else "xla"
         parts.append(f"-> {route}")
+        if args.bwd:
+            _sweep_bwd_route(rows, p, H, dtype_name, parts)
         print("  ".join(parts))
         # r-bucketed key always; the R-free key only for flagship-R shapes
         # (the serving band must not override the flagship route at the
