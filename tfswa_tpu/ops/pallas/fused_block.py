@@ -617,13 +617,24 @@ def _fused_block_bwd_kernel(
     d_q = jnp.zeros((Rb, N, C), jnp.float32)
     d_k = jnp.zeros((Rb, N, C), jnp.float32)
     d_vT_parts = []
-    for h in range(H):
-        kh = jnp.where((lane >= h * D) & (lane < (h + 1) * D), k, 0) \
+
+    def _kh(h):
+        return jnp.where((lane >= h * D) & (lane < (h + 1) * D), k, 0) \
             .astype(cd)
-        sT = jax.lax.dot_general(                           # score recompute
-            kh, q, (((2,), (2,)), ((0,), (0,))),
+
+    def _sT(h):
+        return jax.lax.dot_general(                         # score recompute
+            _kh(h), q, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )                                                   # (Rb, Nm, Nn)
+
+    # Software-pipelined like the forward: head h+1's score matmul (MXU)
+    # is emitted before head h's exp2/softmax-VJP (VPU) so the units
+    # overlap across the loop.
+    sT = _sT(0)
+    for h in range(H):
+        kh = _kh(h)
+        sT_next = _sT(h + 1) if h + 1 < H else None
         pT = jnp.exp2(jnp.minimum(sT, SCORE_CLAMP))
 
         den_h = den[:, h:h + 1, :]                          # (Rb, 1, N)
@@ -661,6 +672,7 @@ def _fused_block_bwd_kernel(
             preferred_element_type=jnp.float32,
         )                                                   # (Rb, D+1, Nm)
         d_vT_parts.append(d_v2[:, :D, :])
+        sT = sT_next
 
     d_v = jnp.swapaxes(jnp.concatenate(d_vT_parts, axis=1), 1, 2)
 
