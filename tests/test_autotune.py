@@ -71,8 +71,8 @@ def test_shipped_defaults_for_v5e(tuned_dir, monkeypatch):
     monkeypatch.setattr(autotune, "_device_kind", "TPU v5 lite")
     assert autotune.row_block(64, 32) == 32
     assert autotune.row_block(64, 64) == 64
-    assert autotune.row_block(128, 256) == 8
-    assert autotune.attention_route(512, 64) == "xla"
+    assert autotune.row_block(128, 256) == 3  # round-4 re-measure
+    assert autotune.attention_route(512, 64) == "pallas"  # round-4 flip
     assert autotune.attention_route(1025, 32) == "pallas"
     # and a user cache entry wins over the shipped default
     autotune.record("row_block", "64,32", 16, kind="TPU v5 lite")
@@ -98,10 +98,12 @@ def test_legacy_keys_only_serve_their_measured_config(tuned_dir):
     assert _row_block(64, 32, 128, jnp.bfloat16, n_outputs=2) == 40
 
     # routes: dtype-keyed entry wins over the legacy one for that dtype
-    autotune.record("attn_route", "512,64", "xla")
-    autotune.record("attn_route", "512,64,float32", "pallas")
-    assert autotune.attention_route(512, 64) == "xla"
-    assert autotune.attention_route(512, 64, "float32") == "pallas"
+    # (shape chosen OFF the shipped-defaults table so only the recorded
+    # entries participate)
+    autotune.record("attn_route", "200,64", "xla")
+    autotune.record("attn_route", "200,64,float32", "pallas")
+    assert autotune.attention_route(200, 64) == "xla"
+    assert autotune.attention_route(200, 64, "float32") == "pallas"
 
 
 def test_remove_and_provenance(tuned_dir):

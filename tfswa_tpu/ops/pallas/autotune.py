@@ -61,27 +61,62 @@ _device_kind: Optional[str] = None
 # without a local cache gets the measured winners, not just the heuristics.
 _SHIPPED: Dict[str, Dict[str, Dict[str, object]]] = {
     "TPU v5 lite": {
+        # Round-4 sweep (tools/autotune.py + tools/kernel_lab.py --grad,
+        # v5e-1, 2026-08-18, commit a1b45ca era; runs/round4/).  Keys are
+        # fully qualified; legacy "<N>,<C>" row_block entries kept for
+        # configurations the round-4 sweep did not re-measure.
         "row_block": {
-            "64,32": 32,      # 12.6 vs 20.2 ms XLA (enc0 SWA)
-            "64,64": 64,      # 6.4 vs 15.2 (enc1 SWA)
-            "64,128": 16,     # 5.4 vs 6.3
-            "64,256": 8,      # 5.0 vs 5.7
-            "512,64": 1,
-            "256,128": 3,     # 5.5 vs 11.7
-            "128,256": 8,     # analytic bound picks 3: 2.7x too cautious
+            "64,32,bfloat16,128,1": 32,
+            "64,32,bfloat16,128,1,hpair": 64,     # paired winner at C=32
+            "64,64,bfloat16,256,1": 64,
+            "64,64,bfloat16,256,1,hpair": 16,
+            "64,128,bfloat16,512,1": 8,
+            "64,128,bfloat16,512,1,hpair": 16,
+            "64,256,bfloat16,1024,1": 8,
+            "64,256,bfloat16,1024,1,hpair": 16,
+            "512,64,bfloat16,256,1": 1,
+            "256,128,bfloat16,512,1": 3,
+            "128,256,bfloat16,1024,1": 3,
+            # legacy (round-3 sweep)
+            "64,32": 32, "64,64": 64, "64,128": 16, "64,256": 8,
+            "512,64": 1, "256,128": 3, "128,256": 3,
         },
         "attn_route": {
-            "1025,32": "pallas",   # 23.7 vs 34.6 ms
-            "862,32": "pallas",    # 20.5 vs 30.9
-            "259,32": "pallas",    # 7.8 vs 12.6
-            "512,64": "xla",       # 8.7 vs 11.4 — the dense mha_rows
-            "130,64": "xla",       #   layout flipped these two to XLA
-            "64,32": "pallas",
-            "64,64": "pallas",
-            "64,128": "pallas",
-            "256,128": "pallas",
-            "128,256": "pallas",
-            "64,256": "pallas",
+            "1025,32,bfloat16": "pallas",
+            "862,32,bfloat16": "pallas",           # flagship 10 s FSA
+            "862,32,bfloat16,r1024": "pallas",
+            "862,32,bfloat16,r256": "xla",         # 3 s serving band
+            "259,32,bfloat16": "pallas",
+            "259,32,bfloat16,r512": "pallas",
+            "130,64,bfloat16": "xla",
+            "130,64,bfloat16,r256": "xla",
+            "512,64,bfloat16": "pallas",
+            "64,32,bfloat16": "pallas",
+            "64,64,bfloat16": "pallas",
+            "64,128,bfloat16": "pallas",
+            "64,256,bfloat16": "pallas",
+            "256,128,bfloat16": "pallas",
+            "128,256,bfloat16": "xla",
+        },
+        # head pairing: wins only where C=32 leaves the score tile 6%
+        # utilized; at C>=64 the paired form's doubled live planes lose
+        "fused_pair": {"64,32": 1, "64,64": 0, "64,128": 0, "64,256": 0},
+        "mha_pair": {"64,32": 0, "64,64": 0, "64,128": 0, "64,256": 0},
+        # fused Pallas backward kernel vs chunked-XLA VJP (kernel_lab
+        # --grad): wins at stage-0/1 shapes (enc0 TSA 118->93 ms, FSA
+        # 95->68, SWA 50->36, enc1 SWA 25->13), neutral-to-worse at
+        # enc2/bottleneck TSA
+        "bwd_route": {
+            "1025,32,bfloat16": "pallas",
+            "862,32,bfloat16": "pallas",
+            "517,32,bfloat16": "pallas",
+            "64,32,bfloat16": "pallas",
+            "512,64,bfloat16": "pallas",
+            "64,64,bfloat16": "pallas",
+            "64,128,bfloat16": "pallas",
+            "64,256,bfloat16": "pallas",
+            "256,128,bfloat16": "xla",
+            "128,256,bfloat16": "xla",
         },
     },
 }
@@ -132,12 +167,21 @@ def reset() -> None:
 
 def lookup(table: str, key: str):
     """Level-1/2 lookup: persisted cache, then shipped defaults.  None
-    means 'no measurement — use the analytic heuristic'."""
-    kind = device_kind()
-    hit = _load().get(kind, {}).get(table, {}).get(key)
+    means 'no measurement — use the analytic heuristic'.
+
+    NOTE for multi-key consumers (row_block, attention_route): exhaust
+    every key form at the LOCAL level before consulting shipped defaults
+    (lookup_in) — otherwise a shipped fully-qualified entry would shadow
+    a user's legacy-keyed local measurement."""
+    hit = lookup_in(_load(), table, key)
     if hit is not None:
         return hit
-    return _SHIPPED.get(kind, {}).get(table, {}).get(key)
+    return lookup_in(_SHIPPED, table, key)
+
+
+def lookup_in(level: Dict, table: str, key: str):
+    """Single-level lookup (level = the loaded local cache or _SHIPPED)."""
+    return level.get(device_kind(), {}).get(table, {}).get(key)
 
 
 def record(table: str, key: str, value, kind: Optional[str] = None) -> None:
@@ -191,19 +235,20 @@ def row_block(N: int, C: int, dtype_name: str = "bfloat16",
     anything else gets None and the caller's analytic VMEM bound decides.
     """
     hidden = mlp_hidden if mlp_hidden is not None else 4 * C
-    v = lookup("row_block",
-               full_key(N, C, dtype_name, hidden, n_outputs, variant))
-    if v is not None:
-        return int(v)
-    if variant:
-        # kernel variants (e.g. head-paired) have different VMEM shapes —
-        # never reuse a default-variant measurement for them
-        return None
-    if dtype_name == "bfloat16" and hidden == 4 * C:
-        # Legacy entries were measured single-output; the caller caps them
-        # analytically when consuming for the two-output training kernel.
-        v = lookup("row_block", f"{N},{C}")
-        return int(v) if v is not None else None
+    legacy_ok = not variant and dtype_name == "bfloat16" and hidden == 4 * C
+    for level in (_load(), _SHIPPED):
+        v = lookup_in(level, "row_block",
+                      full_key(N, C, dtype_name, hidden, n_outputs, variant))
+        if v is not None:
+            return int(v)
+        # variants (e.g. head-paired) have different VMEM shapes — never
+        # reuse a default-variant measurement for them.  Legacy entries
+        # were measured bf16/hidden=4C/single-output; the caller caps
+        # them analytically for the two-output training kernel.
+        if legacy_ok:
+            v = lookup_in(level, "row_block", f"{N},{C}")
+            if v is not None:
+                return int(v)
     return None
 
 
@@ -228,14 +273,18 @@ def attention_route(N: int, C: int, dtype_name: str = "bfloat16",
     the flagship route (bench 18.6 -> 13.9 as/s).  R-bucketed entries
     win over the R-free flagship entry; sweeps record the R-free key
     only for flagship-R shapes (tools/autotune.py)."""
-    if R is not None:
-        v = lookup("attn_route", f"{N},{C},{dtype_name},r{r_bucket(R)}")
+    for level in (_load(), _SHIPPED):
+        if R is not None:
+            v = lookup_in(level, "attn_route",
+                          f"{N},{C},{dtype_name},r{r_bucket(R)}")
+            if v is not None:
+                return str(v)
+        v = lookup_in(level, "attn_route", f"{N},{C},{dtype_name}")
+        if v is None and dtype_name == "bfloat16":
+            v = lookup_in(level, "attn_route", f"{N},{C}")
         if v is not None:
             return str(v)
-    v = lookup("attn_route", f"{N},{C},{dtype_name}")
-    if v is None and dtype_name == "bfloat16":
-        v = lookup("attn_route", f"{N},{C}")
-    return str(v) if v is not None else None
+    return None
 
 
 def record_provenance(kind: Optional[str] = None) -> None:
