@@ -284,27 +284,42 @@ def _fused_block_kernel(
 
         accT_parts = []
         denT_parts = []
+        int8_av = False
+        # int8 scores pay ~for free (q/k quantization is O(N*C)); int8 AV
+        # measured SLOWER end-to-end — the per-column prob quantization
+        # (max+round over every (N, N) plane) adds more VPU time than the
+        # halved AV matmul saves (27.0 vs 24.2 ms at enc0 TSA, v5e).
         sTi = _scores_i8(0)
         for h in range(H):
             sTi_next = _scores_i8(h + 1) if h + 1 < H else None
             sT = sTi.astype(f32) * ss
             pT = jnp.exp2(jnp.minimum(sT, SCORE_CLAMP))     # (Rb, Nm, Nn) f32
-            sp = jnp.max(pT, axis=1, keepdims=True) / 127.0  # per column n
-            pTi = jnp.round(pT / sp).astype(jnp.int8)
-            v_hiT = jnp.concatenate(
-                [viT[:, h * D:(h + 1) * D, :], ones_i], axis=1)
-            oeTi = jax.lax.dot_general(
-                v_hiT, pTi, (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.int32,
-            )                                               # (Rb, D+1, Nn) i32
-            # undo scales: v rows carry sv, the ones row carries 1/127;
-            # every column carries sp
-            oeT = oeTi.astype(f32) * sp
-            denomT = oeT[:, D:D + 1, :] * (1.0 / 127.0)
+            if int8_av:
+                sp = jnp.max(pT, axis=1, keepdims=True) / 127.0  # per col n
+                pTi = jnp.round(pT / sp).astype(jnp.int8)
+                v_hiT = jnp.concatenate(
+                    [viT[:, h * D:(h + 1) * D, :], ones_i], axis=1)
+                oeTi = jax.lax.dot_general(
+                    v_hiT, pTi, (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.int32,
+                )                                           # (Rb, D+1, Nn) i32
+                # undo scales: v rows carry sv, the ones row 1/127, every
+                # column sp
+                oeT = oeTi.astype(f32) * sp
+                denomT = oeT[:, D:D + 1, :] * (1.0 / 127.0)
+                acc_h = oeT[:, :D, :] * sv
+            else:
+                v_hT = jnp.concatenate(
+                    [vT[:, h * D:(h + 1) * D, :], ones_row], axis=1)
+                oeT = jax.lax.dot_general(
+                    v_hT, pT.astype(cd), (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                )                                           # (Rb, D+1, Nn)
+                denomT = oeT[:, D:D + 1, :]
+                acc_h = oeT[:, :D, :]
             denT_parts.append(denomT)
             accT_parts.append(
-                oeT[:, :D, :] * sv
-                * pl.reciprocal(denomT, approx=False))
+                acc_h * pl.reciprocal(denomT, approx=False))
             sTi = sTi_next
         accT = jnp.concatenate(accT_parts, axis=1)          # (Rb, C, N)
     else:
