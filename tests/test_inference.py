@@ -97,6 +97,33 @@ def test_ola_constant_region_consistency(separator):
     assert abs(e1 - e2) / max(e1, 1e-9) < 0.05
 
 
+@pytest.mark.parametrize("dtype", ["float16", "int16"])
+def test_transfer_dtype_matches_f32(separator, dtype):
+    """Reduced-precision transfer codecs (f16 / scaled-PCM int16) must match
+    the f32 path within their quantization noise, on both the batched host
+    path and the device-OLA path."""
+    model, variables, proc = (separator.model, separator.variables,
+                              separator.stft_processor)
+    audio = _sine(440, int(SR * 3.0)) * 0.7
+    ref = separator.separate(audio)
+    for device_ola in (False, True):
+        sep = SourceSeparator(
+            model, variables, proc, segment_length=1.0, overlap=0.25,
+            mask_mode="trainer", segment_batch=4, transfer_dtype=dtype,
+            device_ola=device_ola, ola_bucket_seconds=2.0,
+        )
+        out = sep.separate(audio)
+        # interior only: at the track edges the OLA/ISTFT envelope is tiny
+        # and input-quantization noise amplifies through the division
+        interior = slice(
+            separator.segment_samples,
+            int(SR * 3.0) - separator.segment_samples,
+        )
+        np.testing.assert_allclose(
+            out["vocals"][0][interior], ref["vocals"][0][interior], atol=5e-3
+        )
+
+
 def test_batch_separator_error_capture(separator, tmp_path):
     bs = BatchSeparator(separator)
     results = bs.separate_files(["/nonexistent/file.wav"], str(tmp_path))

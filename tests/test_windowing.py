@@ -5,6 +5,7 @@ import jax.numpy as jnp
 
 from tfswa_tpu.ops.windowing import (
     swin_attention_mask,
+    swin_mask_table,
     window_partition,
     window_reverse,
 )
@@ -29,6 +30,17 @@ def test_partition_ordering_matches_reference():
     # window 1 = rows 0:4, cols 4:8
     expected = np.asarray(x)[0, 0:4, 4:8, 0].reshape(-1)
     np.testing.assert_array_equal(np.asarray(wins[1, :, 0]), expected)
+
+
+def test_swin_mask_table_matches_dense():
+    """table[idx] reproduces swin_attention_mask exactly, including the
+    single-window-row/column degenerate cases."""
+    for H, W, ws, ss in [(16, 16, 4, 2), (16, 24, 4, 2), (4, 12, 4, 2),
+                         (8, 8, 8, 4), (24, 8, 4, 1)]:
+        dense = swin_attention_mask(H, W, ws, ss)
+        table, idx = swin_mask_table(H, W, ws, ss)
+        assert table.shape[0] == 4 and idx.shape == (dense.shape[0],)
+        np.testing.assert_array_equal(table[idx], dense)
 
 
 def test_swin_mask_properties():

@@ -33,9 +33,10 @@ class ModelConfig:
     mlp_ratio: float = 4.0
     # Correct Swin shift masking for the SWA branch.  False reproduces the
     # reference quirk (mask computed but never applied,
-    # reference: attention.py:241-266); True enables the fix.  Whether the
-    # fix beats the parity behaviour is measured by the quality A/B in
-    # runs/quality_ab (see its README for arm status).
+    # reference: attention.py:241-266); True enables the fix.  The completed
+    # quality A/B (runs/quality_ab) measured the fix quality-neutral at
+    # short segments — the mask convention dominates the parity ceiling,
+    # not seam leakage — so the parity default stands.
     use_shift_mask: bool = False
     # TPU-specific knobs (no reference equivalent):
     attention_impl: str = "xla"   # "xla" (chunked einsum) | "pallas" (flash kernels) | "int8" (quantized serving)
@@ -111,8 +112,11 @@ class TrainConfig:
     # sigmoid (sigmoid of the already-sigmoided head magnitudes,
     # reference: trainer.py:179-186 — caps masks to [0.5, 0.80]); "direct"
     # uses the sigmoid head channels directly as [0, 1] magnitude masks,
-    # removing the cap.  The two conventions are compared by the quality
-    # A/B in runs/quality_ab (see its README for arm status).
+    # removing the cap.  The completed quality A/B (runs/quality_ab)
+    # measured "direct" at +3.75 dB avg SDR over the parity ceiling on the
+    # identical recipe (7.59 vs 3.84; vocals 11.12 vs 8.98).  The default
+    # stays "parity" for reference-checkpoint compatibility; new trainings
+    # should set "direct".
     train_mask_mode: str = "parity"
     seed: int = 42
     log_every_n_steps: int = 50

@@ -32,6 +32,12 @@ def _hann(length: int) -> np.ndarray:
     return get_window("hann", length).astype(np.float32)
 
 
+# int16 transfer scaling: 4x headroom over full-scale audio (the device-OLA
+# d2h carries pre-normalization Hann-weighted sums, which can slightly exceed
+# the input peak), ~78 dB SNR at typical levels — far below separation SDR.
+_INT16_SCALE = 8192.0
+
+
 class SourceSeparator:
     """High-level separation interface (reference: inference.py:19-237).
 
@@ -71,7 +77,8 @@ class SourceSeparator:
         self.default_stems = tuple(stem_names)
         self.segment_batch = segment_batch
         # float16 halves host<->device audio traffic (66 dB SNR, far below
-        # separation noise floors); float32 is the parity default.
+        # separation noise floors); int16 halves it again (scaled PCM — what
+        # WAV files store anyway); float32 is the parity default.
         self.transfer_dtype = np.dtype(transfer_dtype)
         # device_ola: run the ENTIRE overlap-add on device — stems come back
         # as per-window accumulations.  Off by default: the host path
@@ -153,11 +160,38 @@ class SourceSeparator:
             self._jit_separate = jax.jit(self._separate_batch_impl)
             self._jit_device_ola = jax.jit(self._device_ola_impl)
 
+    # ----------------------------------------------------- transfer codecs
+    def _encode_host(self, x: np.ndarray) -> np.ndarray:
+        """f32 host audio -> transfer dtype (int16 is scaled PCM)."""
+        if self.transfer_dtype == np.int16:
+            return np.clip(
+                np.rint(x * _INT16_SCALE), -32768, 32767
+            ).astype(np.int16)
+        return x.astype(self.transfer_dtype)
+
+    def _decode_host(self, x) -> np.ndarray:
+        x = np.asarray(x)
+        if self.transfer_dtype == np.int16:
+            return x.astype(np.float32) / _INT16_SCALE
+        return x.astype(np.float32)
+
+    def _encode_dev(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.transfer_dtype == np.int16:
+            return jnp.clip(
+                jnp.round(x * _INT16_SCALE), -32768, 32767
+            ).astype(jnp.int16)
+        return x.astype(jnp.dtype(self.transfer_dtype))
+
+    def _decode_dev(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.transfer_dtype == np.int16:
+            return x.astype(jnp.float32) / _INT16_SCALE
+        return x.astype(jnp.float32)
+
     # --------------------------------------------------------------- core
     def _separate_batch_impl(self, variables, segments: jnp.ndarray) -> jnp.ndarray:
         """(B, S) mono segments -> (B, n_stems, S) in the transfer dtype."""
-        return self._separate_core(variables, segments).astype(
-            jnp.dtype(self.transfer_dtype)
+        return self._encode_dev(
+            self._separate_core(variables, self._decode_dev(segments))
         )
 
     def _separate_core(self, variables, segments: jnp.ndarray) -> jnp.ndarray:
@@ -216,7 +250,7 @@ class SourceSeparator:
         seg, hop = self.segment_samples, self.hop_samples
         K = self.ola_window_segments
         W = (K - 1) * hop + seg
-        window = window.astype(jnp.float32)
+        window = self._decode_dev(window)
         idx = np.arange(K)[:, None] * hop + np.arange(seg)[None, :]
         segments = window[idx]                               # (K, seg)
 
@@ -258,7 +292,7 @@ class SourceSeparator:
         ).transpose(1, 0, 2)
         acc = jnp.zeros((self.n_stems, W), jnp.float32)
         acc = acc.at[:, idx].add(weighted)
-        return acc.astype(jnp.dtype(self.transfer_dtype))
+        return self._encode_dev(acc)
 
     def _separate_long_device(
         self, audio: np.ndarray, stems: List[str]
@@ -275,9 +309,7 @@ class SourceSeparator:
         n_seg = -(-max(total - seg, 0) // hop) + 1
         n_win = -(-n_seg // K)
         S_needed = (n_win * K - 1) * hop + seg
-        track = np.pad(audio[0], (0, S_needed - total)).astype(
-            self.transfer_dtype
-        )
+        track = self._encode_host(np.pad(audio[0], (0, S_needed - total)))
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec
 
@@ -298,7 +330,7 @@ class SourceSeparator:
         acc = np.zeros((self.n_stems, S_needed), np.float32)
         for w, h in enumerate(handles):
             o = w * K * hop
-            acc[:, o : o + W] += np.asarray(h).astype(np.float32)
+            acc[:, o : o + W] += self._decode_host(h)
 
         hann = _hann(seg)
         norm = np.zeros(S_needed, dtype=np.float32)
@@ -323,15 +355,15 @@ class SourceSeparator:
         seg = self.segment_samples
 
         if total <= seg:
-            padded = np.pad(audio[0], (0, seg - total)).astype(self.transfer_dtype)
+            padded = self._encode_host(np.pad(audio[0], (0, seg - total)))
             block = padded[None]
             if self.mesh is not None:
                 # batch dim must tile evenly over the 'data' axis
                 d = self.mesh.shape.get("data", 1)
                 block = np.pad(block, ((0, d - 1), (0, 0)))
-            out = np.asarray(
+            out = self._decode_host(
                 self._jit_separate(self.variables, jnp.asarray(block))
-            ).astype(np.float32)[0, :, :total]
+            )[0, :, :total]
             return {name: out[i : i + 1] for i, name in enumerate(stems)}
         if self.device_ola:
             return self._separate_long_device(audio, stems)
@@ -357,10 +389,11 @@ class SourceSeparator:
                 start = max(0, end - seg)
             bounds.append((start, end))
 
-        batch = np.zeros((len(bounds), seg), dtype=self.transfer_dtype)
+        batch = np.zeros((len(bounds), seg), dtype=np.float32)
         for j, (start, end) in enumerate(bounds):
             chunk = audio[0, start:end]
             batch[j, : end - start] = chunk
+        batch = self._encode_host(batch)
 
         bs = self.segment_batch
         n = len(bounds)
@@ -377,7 +410,7 @@ class SourceSeparator:
                 self._jit_separate(self.variables, jnp.asarray(block))
             )
         outs = [
-            np.asarray(res).astype(np.float32)[: min(bs, n - j0)]
+            self._decode_host(res)[: min(bs, n - j0)]
             for j0, res in zip(range(0, n, bs), handles)
         ]
         separated_segments = np.concatenate(outs, axis=0)   # (n, n_stems, seg)

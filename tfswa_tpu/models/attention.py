@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from ..ops.windowing import swin_attention_mask, window_partition, window_reverse
+from ..ops.windowing import swin_mask_table, window_partition, window_reverse
 from .layers import gelu, trunc_normal_002
 
 Dtype = Any
@@ -291,7 +291,17 @@ def row_transformer_block(
     dtype = rows.dtype
     use_dropout = dropout_rate > 0.0 and dropout_rng is not None
 
-    if attention_impl in ("pallas", "pallas_int8") and mask is None \
+    # A factored mask (table (K, 1, N, N), idx (R,)) — the Swin shift mask's
+    # 4-pattern form (ops/windowing.py swin_mask_table) — is gathered lazily:
+    # per chunk in the chunked path, so neither the HLO (literals) nor HBM
+    # ever holds the dense (R, 1, N, N) tensor at full-track window counts.
+    mask_table = mask_idx = None
+    if isinstance(mask, tuple):
+        mask_table, mask_idx = mask
+        mask = None
+    has_mask = mask is not None or mask_idx is not None
+
+    if attention_impl in ("pallas", "pallas_int8") and not has_mask \
             and not use_dropout \
             and _pallas_fwd_profitable(rows.shape[1], rows.shape[2], dtype,
                                        R=rows.shape[0]):
@@ -313,7 +323,7 @@ def row_transformer_block(
 
     normed = _layer_norm(rows, p.norm1_scale, p.norm1_bias)
 
-    if attention_impl == "pallas_attn" and mask is None and not use_dropout:
+    if attention_impl == "pallas_attn" and not has_mask and not use_dropout:
         from ..ops.pallas.row_attention import flash_row_attention
 
         attn = flash_row_attention(
@@ -338,7 +348,10 @@ def row_transformer_block(
         chunks = padded.reshape(-1, chunk_size, *padded.shape[1:])
         n_chunks = chunks.shape[0]
         xs = {"rows": chunks}
-        if mask is not None and mask.shape[0] == R:
+        if mask_idx is not None and mask_idx.shape[0] == R:
+            ip = jnp.pad(mask_idx, ((0, pad),))
+            xs["mask_idx"] = ip.reshape(n_chunks, chunk_size)
+        elif mask is not None and mask.shape[0] == R:
             mp = jnp.pad(mask, ((0, pad), (0, 0), (0, 0), (0, 0)))
             xs["mask"] = mp.reshape(n_chunks, chunk_size, *mask.shape[1:])
         if use_dropout:
@@ -346,9 +359,14 @@ def row_transformer_block(
             xs["rng"] = jax.random.split(attn_rng, n_chunks)
 
         def _one_chunk(c):
+            m = c.get("mask", mask)
+            if "mask_idx" in c:
+                m = mask_table[c["mask_idx"]]
+            elif m is None and mask_idx is not None:
+                m = mask_table[mask_idx]     # broadcast idx (rare)
             return mha_rows(
                 c["rows"], p.qkv_kernel, p.proj_kernel, p.proj_bias,
-                num_heads, mask=c.get("mask", mask),
+                num_heads, mask=m,
                 dropout_rate=dropout_rate if use_dropout else 0.0,
                 dropout_rng=c.get("rng"),
             )
@@ -358,6 +376,8 @@ def row_transformer_block(
     else:
         if use_dropout:
             attn_rng, dropout_rng = jax.random.split(dropout_rng)
+        if mask_idx is not None:
+            mask = mask_table[mask_idx]
         attn = mha_rows(
             normed, p.qkv_kernel, p.proj_kernel, p.proj_bias, num_heads,
             mask=mask,
@@ -583,8 +603,15 @@ class ShiftedWindowAttention(nn.Module, _RowBlockMixin):
 
         mask = None
         if self.use_shift_mask and ss > 0:
-            m = jnp.asarray(swin_attention_mask(Hp, Wp, ws, ss))  # (nW, N, N)
-            mask = jnp.tile(m[:, None], (B, 1, 1, 1))  # (B*nW, 1, N, N)
+            # Factored 4-pattern form: tiny HLO literals (the dense per-
+            # window mask is hundreds of MB at full-track window counts,
+            # which overflows remote-compile request limits) and gathered
+            # per row chunk downstream so HBM stays bounded too.
+            table, idx = swin_mask_table(Hp, Wp, ws, ss)
+            mask = (
+                jnp.asarray(table)[:, None],           # (4, 1, N, N)
+                jnp.tile(jnp.asarray(idx), (B,)),      # (B*nW,)
+            )
 
         # Bound peak score memory: full-track spectrograms produce 100k+
         # windows, and (R, heads, N, N) scores at once would be tens of GB.

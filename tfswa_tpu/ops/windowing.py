@@ -57,3 +57,42 @@ def swin_attention_mask(
     diff = wins[:, None, :] - wins[:, :, None]
     mask = np.where(diff != 0, -100.0, 0.0).astype(np.float32)
     return mask
+
+
+@functools.lru_cache(maxsize=32)
+def swin_mask_table(
+    H: int, W: int, window_size: int, shift_size: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """:func:`swin_attention_mask` factored as a 4-entry pattern table.
+
+    Every window's mask is one of four patterns — interior (all-zero),
+    last window row, last window column, or the corner — because the Swin
+    region-id image is uniform except in the final ``ws``-wide bands.
+    Returns ``(table, idx)`` with ``table`` (4, ws*ws, ws*ws) f32 additive
+    masks and ``idx`` (nH*nW,) int32 pattern ids per window (same window
+    order as :func:`window_partition`).
+
+    Materialising ``table[idx]`` reproduces ``swin_attention_mask``
+    exactly (tested), but the factored form stays tiny both as HLO
+    literals (~64 KB vs hundreds of MB at full-track shapes — the latter
+    overflows compile-request limits) and in HBM when gathered per row
+    chunk (models/attention.py chunked path).
+    """
+    ws, ss = window_size, shift_size
+    interior = np.zeros(ws, dtype=np.int32)
+    last = np.concatenate([
+        np.full(ws - ss, 1, np.int32), np.full(ss, 2, np.int32)
+    ])
+    table = np.zeros((4, ws * ws, ws * ws), dtype=np.float32)
+    for kind in range(4):
+        rb = last if kind & 2 else interior
+        cb = last if kind & 1 else interior
+        ids = (3 * rb[:, None] + cb[None, :]).reshape(-1)
+        table[kind] = np.where(
+            ids[None, :] != ids[:, None], -100.0, 0.0
+        ).astype(np.float32)
+    nH, nW = H // ws, W // ws
+    is_last_row = (np.arange(nH) == nH - 1).astype(np.int32)
+    is_last_col = (np.arange(nW) == nW - 1).astype(np.int32)
+    idx = (2 * is_last_row[:, None] + is_last_col[None, :]).reshape(-1)
+    return table, idx
