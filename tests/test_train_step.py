@@ -71,6 +71,36 @@ def test_train_step_decreases_loss(setup):
     assert float(loss_dict["grad_norm"]) > 0
 
 
+def test_crop_pow2_train_and_eval_step(setup):
+    """freq_policy='crop_pow2' drops the Nyquist row: the step must run,
+    converge, and produce a loss close to the full-spectrum step (the
+    cropped bin is a noise-floor sliver of the L1 mass)."""
+    cfg, proc, model, state = setup
+    step = jax.jit(make_train_step(model, proc, STEMS,
+                                   freq_policy="crop_pow2"))
+    rng = np.random.default_rng(0)
+    mixtures, targets = synth_batch(rng)
+    s2 = state
+    losses = []
+    for _ in range(3):
+        s2, loss_dict = step(s2, mixtures, targets)
+        losses.append(float(loss_dict["total_loss"]))
+    assert all(np.isfinite(losses)) and losses[-1] < losses[0]
+
+    full_eval = jax.jit(make_eval_step(model, proc, STEMS))
+    crop_eval = jax.jit(make_eval_step(model, proc, STEMS,
+                                       freq_policy="crop_pow2"))
+    lf = float(full_eval(state, mixtures, targets)["total_loss"])
+    lc = float(crop_eval(state, mixtures, targets)["total_loss"])
+    assert abs(lf - lc) / lf < 0.02, (lf, lc)
+
+    # mrstft path pads the Nyquist row back for the 1025-bin ISTFT
+    mr = jax.jit(make_train_step(model, proc, STEMS, use_mrstft=True,
+                                 freq_policy="crop_pow2"))
+    _, ld = mr(state, mixtures, targets)
+    assert np.isfinite(float(ld["total_loss"]))
+
+
 def test_loss_dict_keys(setup):
     cfg, proc, model, state = setup
     step = jax.jit(make_train_step(model, proc, STEMS))

@@ -62,6 +62,10 @@ class STFTConfig:
     center: bool = True
     pad_mode: str = "reflect"
     sample_rate: int = 44100
+    # DFT matmul precision on TPU: "highest" (full-f32 6-pass, torch-parity
+    # default), "high" (3-pass bf16x3, ~f32-accurate at half the cost) or
+    # "default" (1-pass bf16, fastest — serving only, SDR-validated).
+    precision: str = "highest"
 
 
 @dataclass
@@ -118,6 +122,13 @@ class TrainConfig:
     # stays "parity" for reference-checkpoint compatibility; new trainings
     # should set "direct".
     train_mask_mode: str = "parity"
+    # TPU shape policy: "crop_pow2" trains/evaluates without the STFT's
+    # Nyquist row (1025 -> 1024 bins), which tiles the stage-1 attention
+    # cleanly onto 128-lane MXU tiles (measured 8-9% faster) and is
+    # quality-neutral (the bin holds 44.1 kHz noise-floor energy).
+    # "full" is reference-exact.  Pair with a segment length whose frame
+    # count is a 128-multiple (e.g. 5.938 s -> T=512) for fully clean tiles.
+    freq_policy: str = "full"
     seed: int = 42
     log_every_n_steps: int = 50
     val_every_n_epochs: int = 1

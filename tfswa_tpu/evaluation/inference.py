@@ -65,6 +65,7 @@ class SourceSeparator:
         transfer_dtype: str = "float32",
         device_ola: bool = False,
         ola_bucket_seconds: float = 60.0,
+        freq_policy: str = "full",
         mesh=None,
     ):
         self.model = model
@@ -96,6 +97,21 @@ class SourceSeparator:
         self.ola_bucket_samples = int(
             ola_bucket_seconds * stft_processor.sample_rate
         )
+        # freq_policy="crop_pow2": run the MODEL on the spectrogram minus its
+        # Nyquist row (n_fft/2+1 = 1025 -> 1024 bins at the flagship STFT)
+        # and edge-replicate the predicted mask back onto the Nyquist row.
+        # TPU rationale: 1025 forces a ragged ninth 128-lane tile on every
+        # stage-1 score matmul (measured 8-9% slower than 1024 at identical
+        # row counts) and a pad/crop at every skip concat; 1024 tiles
+        # cleanly end to end.  The Nyquist bin of 44.1 kHz audio is
+        # inaudible noise-floor energy, and masks vary smoothly in
+        # frequency, so replicating the last computed mask row is
+        # quality-neutral (validated vs "full" on a trained checkpoint:
+        # tools/overlap_ab.py --freq_policy).  "full" (default) keeps
+        # reference-exact behaviour.
+        if freq_policy not in ("full", "crop_pow2"):
+            raise ValueError(f"unknown freq_policy {freq_policy!r}")
+        self.freq_policy = freq_policy
 
         self.sample_rate = stft_processor.sample_rate
         self.segment_samples = int(segment_length * self.sample_rate)
@@ -201,6 +217,10 @@ class SourceSeparator:
         wav = jnp.repeat(segments[:, None, :], self.model_audio_channels, axis=1)
         spec = self.stft_processor.stft(wav)                # (B, C, F, T)
         model_input = self.stft_processor.to_model_input(spec)
+        F_full = model_input.shape[2]
+        if self.freq_policy == "crop_pow2" and F_full % 2 == 1:
+            # drop the Nyquist row for clean 128-tiling (see __init__ note)
+            model_input = model_input[:, :, :-1, :]
         stats = None
         if self.normalizer is not None:
             model_input, mean, std = self.normalizer(model_input, return_stats=True)
@@ -210,6 +230,9 @@ class SourceSeparator:
             # reference denormalizes the masks with the input stats
             # (reference: inference.py:131-133)
             out = self.normalizer.denormalize(out, *stats)
+        if out.shape[2] != F_full:
+            # edge-replicate the last computed mask row onto the Nyquist bin
+            out = jnp.concatenate([out, out[:, :, -1:, :]], axis=2)
 
         if self.mask_mode == "trainer":
             mono = jnp.mean(spec, axis=1)                   # (B, F, T) complex

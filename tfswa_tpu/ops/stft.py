@@ -109,6 +109,7 @@ def stft(
     window: str = "hann",
     center: bool = True,
     pad_mode: str = "reflect",
+    precision: jax.lax.Precision = jax.lax.Precision.HIGHEST,
 ) -> jnp.ndarray:
     """Batched STFT.  (..., S) float -> (..., F, T) complex64.
 
@@ -124,12 +125,13 @@ def stft(
         x = jnp.pad(x, pad_widths, mode=pad_mode)
     frames = frame_signal(x, n_fft, hop_length)          # (..., T, n_fft)
     basis = jnp.asarray(_forward_basis(n_fft, win_length, window))
-    # HIGHEST precision: TPU f32 matmuls default to bf16 passes, which is far
-    # too coarse for a DFT basis; this selects full-f32 (6-pass) accumulation.
+    # HIGHEST precision default: TPU f32 matmuls default to bf16 passes —
+    # too coarse for torch-parity DFT; serving may lower it (STFTConfig
+    # .precision, SDR-validated).
     proj = jnp.einsum(
         "...tn,nf->...tf", frames, basis,
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=precision,
     )                                                     # (..., T, 2F)
     freqs = n_fft // 2 + 1
     re, im = proj[..., :freqs], proj[..., freqs:]
@@ -145,6 +147,7 @@ def istft(
     window: str = "hann",
     center: bool = True,
     length: Optional[int] = None,
+    precision: jax.lax.Precision = jax.lax.Precision.HIGHEST,
 ) -> jnp.ndarray:
     """Batched inverse STFT.  (..., F, T) complex -> (..., S) float32.
 
@@ -162,7 +165,7 @@ def istft(
     frames = jnp.einsum(
         "...tf,fn->...tn", stacked, ibasis,
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=precision,
     )                                                     # (..., T, n_fft), windowed
     total = n_fft + hop_length * (num_frames - 1)
     idx = np.arange(num_frames)[:, None] * hop_length + np.arange(n_fft)[None, :]
@@ -216,6 +219,11 @@ class STFTProcessor:
         self.center = config.center
         self.pad_mode = config.pad_mode
         self.sample_rate = config.sample_rate
+        self.precision = {
+            "highest": jax.lax.Precision.HIGHEST,
+            "high": jax.lax.Precision.HIGH,
+            "default": jax.lax.Precision.DEFAULT,
+        }[getattr(config, "precision", "highest")]
 
     # ------------------------------------------------------------- forward
     def stft(self, waveform: jnp.ndarray, return_magnitude_phase: bool = False):
@@ -229,6 +237,7 @@ class STFTProcessor:
             window=self.window,
             center=self.center,
             pad_mode=self.pad_mode,
+            precision=self.precision,
         )
         if return_magnitude_phase:
             return jnp.abs(spec), jnp.angle(spec)
@@ -256,6 +265,7 @@ class STFTProcessor:
             window=self.window,
             center=self.center,
             length=length,
+            precision=self.precision,
         )
 
     # ------------------------------------------------------ model adapters

@@ -155,6 +155,7 @@ class Trainer:
                 spec_augment=self.spec_aug,
                 rng_seed=config.train.seed + 2,
                 mask_mode=config.train.train_mask_mode,
+                freq_policy=config.train.freq_policy,
             ),
             donate_argnums=(0,),
         )
@@ -162,6 +163,7 @@ class Trainer:
             make_eval_step(
                 model, self.stft_processor, self.stems,
                 mask_mode=config.train.train_mask_mode,
+                freq_policy=config.train.freq_policy,
             )
         )
         if self.audio_aug is not None or self.mixup is not None:

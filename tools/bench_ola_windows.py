@@ -27,6 +27,8 @@ def main() -> None:
     ap.add_argument("--batches", type=int, nargs="+", default=[8])
     ap.add_argument("--dtypes", nargs="+", default=["float16"])
     ap.add_argument("--overlaps", type=float, nargs="+", default=[0.25])
+    ap.add_argument("--freq_policy", default="full")
+    ap.add_argument("--stft_precision", default="highest")
     ap.add_argument("--track_seconds", type=float, default=120.0)
     ap.add_argument("--repeats", type=int, default=1)
     args = ap.parse_args()
@@ -46,7 +48,8 @@ def main() -> None:
     variables = model.init(
         jax.random.PRNGKey(0), jnp.zeros((1, 4, 1025, 259), jnp.float32)
     )
-    proc = STFTProcessor(STFTConfig(n_fft=2048, hop_length=512))
+    proc = STFTProcessor(STFTConfig(n_fft=2048, hop_length=512,
+                                    precision=args.stft_precision))
 
     sr = proc.sample_rate
     n = int(args.track_seconds * sr)
@@ -67,7 +70,7 @@ def main() -> None:
             segment_length=seg_len, overlap=ov, mask_mode="trainer",
             stem_names=("vocals", "other"), segment_batch=bs,
             transfer_dtype=dt_name, device_ola=True,
-            ola_bucket_seconds=bucket,
+            ola_bucket_seconds=bucket, freq_policy=args.freq_policy,
         )
         sep.separate(audio)  # compile + warmup
         rate = 0.0

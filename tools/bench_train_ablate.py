@@ -68,6 +68,9 @@ def main() -> None:
                     help="store block inputs instead of nn.remat: the fused "
                          "kernel's custom VJP already recomputes internally, "
                          "so nn.remat buys only the glue between blocks")
+    ap.add_argument("--freq_policy", default="full",
+                    help="'crop_pow2' drops the Nyquist row (1025 -> 1024 "
+                         "bins) like train.freq_policy")
     args = ap.parse_args()
 
     cfg = Config()
@@ -96,13 +99,19 @@ def main() -> None:
     }
 
     def preprocess(mixtures, targets):
+        from tfswa_tpu.training.train_state import _crop_nyquist
+
         mixture_spec = proc.stft(mixtures)
+        if args.freq_policy == "crop_pow2":
+            mixture_spec = _crop_nyquist(mixture_spec)
         mono = jnp.mean(mixture_spec, axis=1)
         mixture_mag = jnp.abs(mono)
         target_mags = {
             k: jnp.abs(jnp.mean(proc.stft(v), axis=1))
             for k, v in targets.items()
         }
+        if args.freq_policy == "crop_pow2":
+            target_mags = {k: _crop_nyquist(v) for k, v in target_mags.items()}
         return proc.to_model_input(mixture_spec), mixture_mag, target_mags
 
     def loss_value(params, batch_stats, mixtures, targets):

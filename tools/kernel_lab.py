@@ -102,7 +102,7 @@ def _kernel_prod(
     x_ref, ln1s_ref, ln1b_ref, wq_ref, wk_ref, wv_ref, wo_ref, ob_ref,
     ln2s_ref, ln2b_ref, fc1_ref, f1b_ref, fc2_ref, f2b_ref,
     out_ref, *, num_heads: int, stage: str = "full", exp2_bf16: bool = False,
-    wo_fold: bool = False,
+    wo_fold: bool = False, pt_f32: bool = False, no_clamp: bool = False,
 ):
     Rb, N, C = x_ref.shape
     H = num_heads
@@ -151,11 +151,15 @@ def _kernel_prod(
     sT = _scores(0)
     for h in range(H):
         sT_next = _scores(h + 1) if h + 1 < H else None
+        sc = sT if no_clamp else jnp.minimum(sT, SCORE_CLAMP)
         if exp2_bf16:
-            pT = jnp.exp2(jnp.minimum(sT, SCORE_CLAMP).astype(jnp.bfloat16)) \
-                .astype(cd)
+            pT = jnp.exp2(sc.astype(jnp.bfloat16)).astype(cd)
+        elif pt_f32:
+            # keep the prob plane f32: no explicit (Rb, N, N) VPU cast pass;
+            # the AV matmul truncates operands on the MXU feed instead
+            pT = jnp.exp2(sc)
         else:
-            pT = jnp.exp2(jnp.minimum(sT, SCORE_CLAMP)).astype(cd)
+            pT = jnp.exp2(sc).astype(cd)
         if stage == "exp2":
             accT_parts.append(jnp.swapaxes(pT[:, :, :D], 1, 2)
                               .astype(jnp.float32))
@@ -163,9 +167,12 @@ def _kernel_prod(
             continue
         v_hT = jnp.concatenate(
             [vT[:, h * D:(h + 1) * D, :], ones_row], axis=1)
+        if pt_f32:
+            v_hT = v_hT.astype(jnp.float32)
         oeT = jax.lax.dot_general(
             v_hT, pT, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
         )
         denomT = oeT[:, D:D + 1, :]
         accT_parts.append(oeT[:, :D, :] * pl.reciprocal(denomT, approx=False))
@@ -243,6 +250,8 @@ def _call_kernel(kernel, rows, p, num_heads, rb_override=None):
         out_specs=pl.BlockSpec((Rb, N, C), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Rp, N, C), dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
             flops=2 * Rp * N * (num_heads * (C * C + 2 * N * C)
                                 + 2 * C * C + 2 * C * hidden),
@@ -294,6 +303,21 @@ def block_wofold(rows, p, num_heads):
         functools.partial(_kernel_prod, wo_fold=True), rows, p, num_heads)
 
 
+def block_ptf32(rows, p, num_heads):
+    """Prod form with the prob planes left f32 into the AV matmul — probes
+    whether the per-element bf16 cast is a separate VPU pass (VPU-bound
+    shapes) or free on the MXU feed."""
+    return _call_kernel(
+        functools.partial(_kernel_prod, pt_f32=True), rows, p, num_heads)
+
+
+def block_noclamp(rows, p, num_heads):
+    """DIAGNOSTIC ONLY: prod form without the SCORE_CLAMP min — measures
+    the clamp's VPU cost (the guard itself stays mandatory in production)."""
+    return _call_kernel(
+        functools.partial(_kernel_prod, no_clamp=True), rows, p, num_heads)
+
+
 VARIANTS = {
     "prod": lambda r, p, H: fused_row_block(r, p, H),
     "xla": lambda r, p, H: _xla_block(r, p, H),
@@ -301,6 +325,8 @@ VARIANTS = {
     "nopair": block_nopair,
     "exp2bf16": block_exp2bf16,
     "wofold": block_wofold,
+    "ptf32": block_ptf32,
+    "noclamp": block_noclamp,
 }
 
 
