@@ -103,6 +103,7 @@ def _kernel_prod(
     ln2s_ref, ln2b_ref, fc1_ref, f1b_ref, fc2_ref, f2b_ref,
     out_ref, *, num_heads: int, stage: str = "full", exp2_bf16: bool = False,
     wo_fold: bool = False, pt_f32: bool = False, no_clamp: bool = False,
+    scores_bf16: bool = False, score_compact: int = 0,
 ):
     Rb, N, C = x_ref.shape
     H = num_heads
@@ -132,10 +133,31 @@ def _kernel_prod(
     lane = jax.lax.broadcasted_iota(jnp.int32, (Rb, N, C), 2)
 
     def _scores(h):
+        if score_compact:
+            # MAC-density probe: the lane-masked form contracts all C lanes
+            # (28 of 32 zero at head_dim 4) — the MXU streams the FULL C
+            # contraction depth per head.  Slice head h's D live lanes and
+            # contract a (Rb, N, W<=16) operand instead: bf16 sublane tiling
+            # makes 16 the minimum executed depth, so W=16 halves score MACs
+            # at C=32 and wins 4-16x at C=64..256.
+            w = min(score_compact, C)
+            qh = jax.lax.slice_in_dim(q, h * D, h * D + D, axis=2)
+            kh = jax.lax.slice_in_dim(k, h * D, h * D + D, axis=2)
+            if w > D:
+                qh = jnp.pad(qh, ((0, 0), (0, 0), (0, w - D)))
+                kh = jnp.pad(kh, ((0, 0), (0, 0), (0, w - D)))
+            return jax.lax.dot_general(
+                kh, qh, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
         kh = jnp.where((lane >= h * D) & (lane < (h + 1) * D), k, 0).astype(cd)
         return jax.lax.dot_general(
             kh, q, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
+            # scores_bf16: the MXU stores the score plane as bf16 directly —
+            # no f32 plane ever lands in VMEM (accumulation stays f32 inside
+            # the MXU; only the store rounds).  Probes the plane-byte floor.
+            preferred_element_type=jnp.bfloat16 if scores_bf16
+            else jnp.float32,
         )
 
     if stage == "scores":
@@ -290,6 +312,34 @@ def block_exp2bf16(rows, p, num_heads):
         functools.partial(_kernel_prod, exp2_bf16=True), rows, p, num_heads)
 
 
+def block_d16(rows, p, num_heads):
+    """Prod form with per-head scores contracted at depth 16 (compacted
+    live lanes) instead of the full lane-masked C — the MAC-density attack
+    on the score matmuls (exact same math: sliced lanes, zero padding)."""
+    return _call_kernel(
+        functools.partial(_kernel_prod, score_compact=16), rows, p,
+        num_heads)
+
+
+def block_d4(rows, p, num_heads):
+    """Like d16 but hands Mosaic the bare (Rb, N, D) operands — probes
+    whether sub-tile contraction depths execute at all / faster."""
+    return _call_kernel(
+        functools.partial(_kernel_prod, score_compact=4), rows, p,
+        num_heads)
+
+
+def block_sbf16(rows, p, num_heads):
+    """bf16 score planes END TO END: the MXU stores scores as bf16 (f32
+    accumulate inside the array, rounded on store), clamp+exp2 run on bf16
+    — the f32 (Rb, N, N) plane write+read is gone entirely.  Same rounding
+    of the exp2 argument as exp2bf16, strictly fewer plane bytes; the
+    quality arbiter is an end-to-end SDR A/B, not kernel fidelity."""
+    return _call_kernel(
+        functools.partial(_kernel_prod, scores_bf16=True), rows, p,
+        num_heads)
+
+
 def block_stage(stage, rows, p, num_heads):
     return _call_kernel(
         functools.partial(_kernel_prod, stage=stage), rows, p, num_heads)
@@ -324,6 +374,9 @@ VARIANTS = {
     "hpair": block_hpair,
     "nopair": block_nopair,
     "exp2bf16": block_exp2bf16,
+    "sbf16": block_sbf16,
+    "d16": block_d16,
+    "d4": block_d4,
     "wofold": block_wofold,
     "ptf32": block_ptf32,
     "noclamp": block_noclamp,
@@ -390,9 +443,21 @@ def main():
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--shapes", default="")
     ap.add_argument("--variants", default="prod,hpair")
+    ap.add_argument("--custom", default="",
+                    help="extra shapes 'label:R,N,C,H;label:R,N,C,H' — "
+                         "replaces the stage list (e.g. production B=8 "
+                         "row counts)")
     args = ap.parse_args()
     dtype = jnp.dtype(args.dtype)
     names = [v for v in args.variants.split(",") if v]
+
+    global SHAPES
+    if args.custom:
+        SHAPES = []
+        for spec in args.custom.split(";"):
+            label, dims = spec.split(":")
+            r, n, c, h = (int(v) for v in dims.split(","))
+            SHAPES.append((label, r, n, c, h))
 
     print(f"device: {jax.devices()[0]}, dtype {dtype}")
     if args.check:
