@@ -76,10 +76,20 @@ def supervise() -> None:
             _error("backend_unavailable",
                    "device probe hung/failed twice (TPU tunnel down?)")
             return
+    # Pin kernel routing to the in-repo shipped v5e table: the shipped
+    # entries were validated END TO END, while a fresh per-shape
+    # tools/autotune.py sweep measured 14% slower on this exact benchmark
+    # (standalone small-shape winners don't transfer in-model — see
+    # BENCH.md round 4, closing session).  A stale local cache must never
+    # decide the headline artifact.
+    import tempfile
+    env = dict(os.environ,
+               TFSWA_AUTOTUNE_DIR=tempfile.mkdtemp(prefix="tfswa_bench_"))
     try:
         r = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--child"],
             timeout=_RUN_TIMEOUT_S, capture_output=True, text=True,
+            env=env,
         )
     except subprocess.TimeoutExpired:
         _error("benchmark_timeout",
