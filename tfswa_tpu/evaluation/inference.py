@@ -77,10 +77,18 @@ class SourceSeparator:
         self.mask_mode = mask_mode
         self.default_stems = tuple(stem_names)
         self.segment_batch = segment_batch
-        # float16 halves host<->device audio traffic (66 dB SNR, far below
-        # separation noise floors); int16 halves it again (scaled PCM — what
-        # WAV files store anyway); float32 is the parity default.
-        self.transfer_dtype = np.dtype(transfer_dtype)
+        # float16 halves host<->device audio traffic vs f32 (66 dB SNR, far
+        # below separation noise floors); int16 is scaled PCM at the same
+        # 2 bytes (what WAV files store — measured throughput-equivalent to
+        # f16); "int8" halves the OUTPUT d2h again with per-stem dynamic
+        # scaling (~42 dB below stem peak, three orders under stem error —
+        # device-OLA path only; input audio rides f16).  float32 is the
+        # parity default.  On the serialized dev tunnel the d2h bytes are
+        # fully wall-exposed (f32 vs f16 measured -12-22% end to end,
+        # runs/round4/f32_probe.log), so int8 output is a real lever there.
+        self.int8_output = transfer_dtype == "int8"
+        self.transfer_dtype = np.dtype(
+            "float16" if self.int8_output else transfer_dtype)
         # device_ola: run the ENTIRE overlap-add on device — stems come back
         # as per-window accumulations.  Off by default: the host path
         # reproduces the reference's exact last-segment clamping
@@ -90,9 +98,13 @@ class SourceSeparator:
         # The track is processed as fixed windows of ``ola_window_segments``
         # consecutive segments (sized from ola_bucket_seconds) — ONE compile
         # for every track length.  Each window rides its own h2d and every
-        # window call is dispatched before any fetch, so window k's compute
-        # hides window k+1's h2d AND window k-1's d2h (audio transfers are
-        # ~0.9 s of a 120 s track's budget on the 35 MB/s dev tunnel).
+        # window call is dispatched before any fetch.  NOTE (measured,
+        # BENCH.md round 4): the dev tunnel serializes transfers with
+        # compute (marginal per-window wall = compute + full transfer time;
+        # copy_to_host_async measured WORSE), so on that link the win comes
+        # from fewer transfer bytes (f16 / int8 codecs), not overlap.  On
+        # locally-attached TPUs the async dispatch order still lets DMA
+        # overlap compute.
         self.device_ola = device_ola
         self.ola_bucket_samples = int(
             ola_bucket_seconds * stft_processor.sample_rate
@@ -267,9 +279,9 @@ class SourceSeparator:
         normalization happens on host (the norm is analytic — no device
         traffic needed for it).  Each window rides its own h2d (window
         slices overlap by seg-hop, so total traffic matches one whole-track
-        transfer) so window k+1's h2d hides under window k's compute —
-        a whole-track h2d would stall the first window on the full
-        transfer."""
+        transfer), keeping per-call transfers small and letting DMA overlap
+        compute on locally-attached devices (the dev tunnel serializes
+        them — see the __init__ note)."""
         seg, hop = self.segment_samples, self.hop_samples
         K = self.ola_window_segments
         W = (K - 1) * hop + seg
@@ -315,15 +327,40 @@ class SourceSeparator:
         ).transpose(1, 0, 2)
         acc = jnp.zeros((self.n_stems, W), jnp.float32)
         acc = acc.at[:, idx].add(weighted)
+        if self.int8_output:
+            # Dynamic per-stem int8 halves the (wall-exposed) d2h bytes.
+            # Quantize the ENVELOPE-NORMALIZED signal, not the raw Hann
+            # accumulation: raw-acc quantization noise is constant-amplitude,
+            # so the final divide by the (near-zero at track edges) OLA
+            # envelope would blow it up ~50x there.  y = acc/env is bounded
+            # at signal scale everywhere (acc <= env * peak), the error of
+            # env * round(y) scales WITH the envelope, and the host rebuilds
+            # acc = env * y exactly (env depends only on hann/valid, known
+            # on both sides).  Scales ride back as a small padded f32 array
+            # (the tunnel rejects single-element transfers).
+            # eps only guards exact 0/0 (uncovered samples have acc == 0
+            # exactly); anywhere covered, y = acc/env is an env-weighted
+            # average of per-segment signals, bounded at signal scale even
+            # as env -> 0 — so the DECODED error env*dy vanishes at the
+            # edges instead of being amplified by the final 1/norm
+            env = jnp.zeros((W,), jnp.float32).at[idx].add(
+                hann[None, :] * valid[:, None])
+            y = acc / jnp.maximum(env, 1e-12)[None]
+            smax = jnp.maximum(jnp.max(jnp.abs(y), axis=1), 1e-12)
+            q = jnp.clip(
+                jnp.round(y * (127.0 / smax)[:, None]), -127, 127
+            ).astype(jnp.int8)
+            pad = max(8, self.n_stems) - self.n_stems
+            return q, jnp.pad(smax, (0, pad))
         return self._encode_dev(acc)
 
     def _separate_long_device(
         self, audio: np.ndarray, stems: List[str]
     ) -> Dict[str, np.ndarray]:
-        """Pipelined windowed device OLA: all window calls are dispatched
-        before any result is fetched, with PER-WINDOW h2d transfers — so
-        window k's compute hides both window k+1's (slow-tunnel) h2d and
-        window k-1's d2h."""
+        """Windowed device OLA: all window calls are dispatched before any
+        result is fetched, with PER-WINDOW h2d transfers (overlappable DMA
+        on local devices; serialized — so byte-count-bound — on the dev
+        tunnel)."""
         total = audio.shape[1]
         seg, hop = self.segment_samples, self.hop_samples
         K = self.ola_window_segments
@@ -351,9 +388,23 @@ class SourceSeparator:
                 self._jit_device_ola(self.variables, put(track[o:o + W]), nv)
             )
         acc = np.zeros((self.n_stems, S_needed), np.float32)
+        hann_np = _hann(seg)
+        idx_np = np.arange(K)[:, None] * hop + np.arange(seg)[None, :]
         for w, h in enumerate(handles):
             o = w * K * hop
-            acc[:, o : o + W] += self._decode_host(h)
+            if self.int8_output:
+                # rebuild acc = env * (dequantized y); env mirrors the
+                # device's hann/valid scatter exactly (see _device_ola_impl)
+                q, smax = h
+                s = np.asarray(smax)[: self.n_stems].astype(np.float32)
+                nv = min(K, n_seg - w * K)
+                env = np.zeros(W, np.float32)
+                np.add.at(env, idx_np[:nv].ravel(),
+                          np.broadcast_to(hann_np, (nv, seg)).ravel())
+                y = np.asarray(q).astype(np.float32) * (s / 127.0)[:, None]
+                acc[:, o : o + W] += np.maximum(env, 1e-12)[None] * y
+            else:
+                acc[:, o : o + W] += self._decode_host(h)
 
         hann = _hann(seg)
         norm = np.zeros(S_needed, dtype=np.float32)
