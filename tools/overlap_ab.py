@@ -33,6 +33,8 @@ def main() -> None:
     ap.add_argument("--freq_policy", default="full")
     ap.add_argument("--stft_precision", default=None,
                     help="override cfg.stft.precision (highest|high|default)")
+    ap.add_argument("--transfer_dtype", default="float32")
+    ap.add_argument("--device_ola", action="store_true")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -73,6 +75,7 @@ def main() -> None:
             model, variables, proc, segment_length=args.segment_length,
             overlap=ov, mask_mode=mask_mode, stem_names=stems,
             segment_batch=8, freq_policy=args.freq_policy,
+            transfer_dtype=args.transfer_dtype, device_ola=args.device_ola,
         )
         per_stem = {s: [] for s in stems}
         outs = []
