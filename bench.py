@@ -148,18 +148,29 @@ def main() -> None:
     rng = jax.random.PRNGKey(0)
     variables = model.init(rng, jnp.zeros((1, 4, 1025, 259), jnp.float32))
 
-    proc = STFTProcessor(STFTConfig(n_fft=2048, hop_length=512))
+    # Measured serving configuration (every non-parity knob is
+    # SDR-validated on a trained checkpoint and config-gated in the
+    # library, parity defaults off):
+    #   - stft precision "default": 1-pass DFT, SDR delta 0.0004 dB
+    #     (runs/round4/prec_ab.log / sdr_prec_default.log);
+    #   - freq_policy "crop_pow2": Nyquist-row crop for clean 128-lane
+    #     tiling, SDR delta 0.004 dB; -86 ms/window device time
+    #     (runs/round4/device_rate_prec_crop.log: 23.37 -> 24.21 as/s
+    #     device-only);
+    #   - float16 transfers: halve audio IO vs f32 (66 dB SNR).
+    proc = STFTProcessor(
+        STFTConfig(n_fft=2048, hop_length=512, precision="default"))
     separator = SourceSeparator(
         model, variables, proc,
         segment_length=10.0, overlap=0.25, mask_mode="trainer",
         stem_names=("vocals", "other"), segment_batch=8,
-        transfer_dtype="float16",   # halve audio IO on the slow dev tunnel
-        device_ola=True,            # pipelined windowed OLA: one h2d, d2h
-                                    # of window k rides under window k+1's
-                                    # compute (measured A/B in
+        transfer_dtype="float16",
+        device_ola=True,            # windowed OLA: one h2d/d2h per window
+                                    # (measured A/B in
                                     # tools/bench_ola_windows.py: 60 s
                                     # windows, K=8 segments at batch 8)
         ola_bucket_seconds=60.0,
+        freq_policy="crop_pow2",
     )
 
     track_seconds = 120.0
@@ -188,13 +199,53 @@ def main() -> None:
     assert all(np.isfinite(v).all() for v in out.values())
 
     value = track_seconds / min(runs)
-    print(json.dumps({
+    result = {
         "metric": "separation_throughput",
         "value": round(value, 2),
         "unit": "audio_sec_per_sec_per_chip",
         "vs_baseline": round(value / BASELINE_AUDIO_SEC_PER_SEC, 3),
         "runs_s": [round(r, 2) for r in runs],
-    }))
+    }
+
+    # Secondary: DEVICE-ONLY rate via on-device window chaining (marginal
+    # per-window device time; <0.1% run noise).  The wall number above
+    # includes ~330 ms/window of dev-tunnel dispatch/transfer
+    # serialization that locally-attached chips do not pay — this field
+    # records what the same binary does without the tunnel
+    # (tools/bench_device_rate.py is the standalone instrument).
+    try:
+        import jax.numpy as jnp
+
+        K = separator.ola_window_segments
+        hop, seg = separator.hop_samples, separator.segment_samples
+        W = (K - 1) * hop + seg
+        win = jnp.asarray(separator._encode_host(audio[:W]))
+        nv = jnp.asarray([K], jnp.int32)
+
+        @jax.jit
+        def _chain(acc, w):
+            return (w.astype(jnp.float32)
+                    + 0.0 * acc[0].astype(jnp.float32)).astype(w.dtype)
+
+        def _run(m):
+            cur = win
+            t0 = time.perf_counter()
+            for _ in range(m):
+                acc = separator._jit_device_ola(separator.variables, cur, nv)
+                cur = _chain(acc, win)
+            np.asarray(cur[:8])  # small fetch forces completion
+            return time.perf_counter() - t0
+
+        _run(1)  # compile the chain helper
+        t1, t5 = _run(1), _run(5)
+        dev_rate = (K * hop / separator.sample_rate) / ((t5 - t1) / 4)
+        result["device_only_value"] = round(dev_rate, 2)
+        result["device_only_vs_baseline"] = round(
+            dev_rate / BASELINE_AUDIO_SEC_PER_SEC, 3)
+    except Exception:
+        pass  # secondary metric must never break the primary artifact
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
