@@ -130,6 +130,30 @@ def test_transfer_dtype_matches_f32(separator, dtype):
         )
 
 
+def test_separate_stream_matches_sequential(separator):
+    """Pipelined multi-track streaming must return EXACTLY the per-track
+    separate() results, in order, including the short-track fallback
+    interleaved mid-stream."""
+    model, variables, proc = (separator.model, separator.variables,
+                              separator.stft_processor)
+    dev = SourceSeparator(
+        model, variables, proc, segment_length=1.0, overlap=0.25,
+        mask_mode="trainer", segment_batch=4, device_ola=True,
+        ola_bucket_seconds=2.0,
+    )
+    tracks = [
+        _sine(440, int(SR * 2.7)),
+        _sine(330, int(SR * 0.5)),        # <= one segment: fallback path
+        _sine(550, int(SR * 3.3)) * 0.5,
+        _sine(220, int(SR * 2.2)),
+    ]
+    streamed = dev.separate_stream(tracks, max_in_flight=2)
+    for audio, got in zip(tracks, streamed):
+        want = dev.separate(audio)
+        for stem in want:
+            np.testing.assert_array_equal(got[stem], want[stem])
+
+
 def test_batch_separator_error_capture(separator, tmp_path):
     bs = BatchSeparator(separator)
     results = bs.separate_files(["/nonexistent/file.wav"], str(tmp_path))

@@ -354,13 +354,11 @@ class SourceSeparator:
             return q, jnp.pad(smax, (0, pad))
         return self._encode_dev(acc)
 
-    def _separate_long_device(
-        self, audio: np.ndarray, stems: List[str]
-    ) -> Dict[str, np.ndarray]:
-        """Windowed device OLA: all window calls are dispatched before any
-        result is fetched, with PER-WINDOW h2d transfers (overlappable DMA
-        on local devices; serialized — so byte-count-bound — on the dev
-        tunnel)."""
+    def _dispatch_long_device(self, audio: np.ndarray) -> Dict:
+        """Enqueue every OLA window call for one track; returns collectable
+        metadata.  Dispatch is async, so a caller may enqueue the NEXT
+        track before collecting this one (separate_stream) — device compute
+        of track k+1 then overlaps track k's result transfers."""
         total = audio.shape[1]
         seg, hop = self.segment_samples, self.hop_samples
         K = self.ola_window_segments
@@ -387,10 +385,22 @@ class SourceSeparator:
             handles.append(
                 self._jit_device_ola(self.variables, put(track[o:o + W]), nv)
             )
+        return {"handles": handles, "total": total, "n_seg": n_seg,
+                "S_needed": S_needed}
+
+    def _collect_long_device(
+        self, meta: Dict, stems: List[str]
+    ) -> Dict[str, np.ndarray]:
+        """Fetch + decode + normalize one dispatched track."""
+        total, n_seg, S_needed = (
+            meta["total"], meta["n_seg"], meta["S_needed"])
+        seg, hop = self.segment_samples, self.hop_samples
+        K = self.ola_window_segments
+        W = (K - 1) * hop + seg
         acc = np.zeros((self.n_stems, S_needed), np.float32)
         hann_np = _hann(seg)
         idx_np = np.arange(K)[:, None] * hop + np.arange(seg)[None, :]
-        for w, h in enumerate(handles):
+        for w, h in enumerate(meta["handles"]):
             o = w * K * hop
             if self.int8_output:
                 # rebuild acc = env * (dequantized y); env mirrors the
@@ -406,12 +416,66 @@ class SourceSeparator:
             else:
                 acc[:, o : o + W] += self._decode_host(h)
 
-        hann = _hann(seg)
         norm = np.zeros(S_needed, dtype=np.float32)
         for i in range(n_seg):
-            norm[i * hop : i * hop + seg] += hann
+            norm[i * hop : i * hop + seg] += hann_np
         out = acc[:, :total] / np.maximum(norm[:total], 1e-8)[None]
         return {name: out[i : i + 1] for i, name in enumerate(stems)}
+
+    def _separate_long_device(
+        self, audio: np.ndarray, stems: List[str]
+    ) -> Dict[str, np.ndarray]:
+        """Windowed device OLA: all window calls are dispatched before any
+        result is fetched, with PER-WINDOW h2d transfers (overlappable DMA
+        on local devices; serialized — so byte-count-bound — on the dev
+        tunnel)."""
+        return self._collect_long_device(
+            self._dispatch_long_device(audio), stems)
+
+    def separate_stream(
+        self,
+        tracks: Sequence,
+        stem_names: Optional[Sequence[str]] = None,
+        max_in_flight: int = 2,
+    ) -> List[Dict[str, np.ndarray]]:
+        """Pipelined multi-track separation (serving-throughput path).
+
+        Keeps up to ``max_in_flight`` tracks' window programs enqueued on
+        the device before collecting results in order, so track k+1's
+        compute overlaps track k's result transfers — the throughput mode
+        the reference's sequential BatchSeparator loop
+        (reference: inference.py:367-425) never had.  Results match
+        per-track :meth:`separate` exactly (same programs, same decode).
+        Falls back to sequential separate() for tracks the device-OLA path
+        does not cover (device_ola off, or track <= one segment).
+        ``max_in_flight`` bounds device-side live buffers:
+        ~n_win x (stems x W) accumulations per in-flight track.
+        """
+        stems = list(stem_names or self.default_stems)[: self.n_stems]
+        queue: List[Tuple[int, Dict]] = []   # (index, dispatch meta)
+        results: List[Optional[Dict[str, np.ndarray]]] = [None] * len(tracks)
+
+        def drain_one() -> None:
+            i, meta = queue.pop(0)
+            results[i] = self._collect_long_device(meta, stems)
+
+        for i, audio in enumerate(tracks):
+            audio = np.asarray(audio, dtype=np.float32)
+            if audio.ndim == 1:
+                audio = audio[None]
+            if audio.shape[0] > 1:
+                audio = audio.mean(axis=0, keepdims=True)
+            if not self.device_ola or audio.shape[1] <= self.segment_samples:
+                while queue:           # preserve output order
+                    drain_one()
+                results[i] = self.separate(audio, stems)
+                continue
+            queue.append((i, self._dispatch_long_device(audio)))
+            if len(queue) > max_in_flight:
+                drain_one()
+        while queue:
+            drain_one()
+        return results
 
     # ---------------------------------------------------------------- api
     def separate(
