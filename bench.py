@@ -207,6 +207,26 @@ def main() -> None:
         "runs_s": [round(r, 2) for r in runs],
     }
 
+    # Secondary: pipelined multi-track serving throughput — the
+    # separate_stream path keeps the next track's windows enqueued while
+    # the previous track's results transfer, absorbing tunnel stalls
+    # (measured +12% over sequential separate() and far lower variance,
+    # runs/round4/stream_ab.log).  This is the sustained-serving reading
+    # of the metric; "value" above stays the single-track convention for
+    # round-to-round continuity.
+    try:
+        t0 = time.perf_counter()
+        outs = separator.separate_stream([audio, audio, audio],
+                                         max_in_flight=2)
+        stream_dt = time.perf_counter() - t0
+        assert all(np.isfinite(o["vocals"]).all() for o in outs)
+        sv = 3 * track_seconds / stream_dt
+        result["stream_value"] = round(sv, 2)
+        result["stream_vs_baseline"] = round(
+            sv / BASELINE_AUDIO_SEC_PER_SEC, 3)
+    except Exception:
+        pass  # secondary metric must never break the primary artifact
+
     # Secondary: DEVICE-ONLY rate via on-device window chaining (marginal
     # per-window device time; <0.1% run noise).  The wall number above
     # includes ~330 ms/window of dev-tunnel dispatch/transfer
