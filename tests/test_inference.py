@@ -99,15 +99,15 @@ def test_ola_constant_region_consistency(separator):
 
 @pytest.mark.parametrize("dtype", ["float16", "int16", "int8"])
 def test_transfer_dtype_matches_f32(separator, dtype):
+    """Reduced-precision transfer codecs (f16 / scaled-PCM int16 /
+    dynamic-scaled int8 output) must match the f32 path within their
+    quantization noise, on both the batched host path and the device-OLA
+    path (int8 applies to the device-OLA d2h; elsewhere it rides f16)."""
     # tolerance follows each codec's design SNR: f16/int16 ~66+ dB;
     # int8's dynamic scaling bounds error at smax/254 per accumulation
     # (~2.5x headroom here); a wiring bug (scale/transpose) would miss
     # by orders of magnitude
     atol = 2e-2 if dtype == "int8" else 5e-3
-    """Reduced-precision transfer codecs (f16 / scaled-PCM int16 /
-    dynamic-scaled int8 output) must match the f32 path within their
-    quantization noise, on both the batched host path and the device-OLA
-    path (int8 applies to the device-OLA d2h; elsewhere it rides f16)."""
     model, variables, proc = (separator.model, separator.variables,
                               separator.stft_processor)
     audio = _sine(440, int(SR * 3.0)) * 0.7

@@ -126,7 +126,8 @@ class MUSDB18Dataset:
         self.segment_overlap = segment_overlap
         self.max_segments_per_track = max_segments_per_track
         self.min_mean_abs = min_mean_abs
-        self._rng = np.random.default_rng(seed)
+        self._seed = seed
+        self._epoch = 0
 
         self.tracks = self._discover_tracks()
         if not self.tracks:
@@ -260,12 +261,22 @@ class MUSDB18Dataset:
         targets = {stem: self._select_stem(stem, sources) for stem in self.stems}
         return mixture, targets
 
+    def set_epoch(self, epoch: int) -> None:
+        """Advance the segment-sampling stream (called by DataLoader per epoch)."""
+        self._epoch = epoch
+
     def __getitem__(self, idx: int) -> Tuple[np.ndarray, Dict[str, np.ndarray]]:
         if self.random_segments:
             ti = idx % len(self.tracks)
             length = self._track_lengths[ti]
             max_start = max(0, length - self.segment_samples)
-            start = int(self._rng.integers(0, max_start + 1))
+            # Per-(seed, epoch, idx) generator: __getitem__ runs on loader
+            # worker THREADS, and a shared np Generator is not thread-safe
+            # (concurrent integers() can corrupt bit-generator state).  A
+            # derived stream is race-free and makes sampling identical for
+            # any worker count.
+            rng = np.random.default_rng((self._seed, self._epoch, idx))
+            start = int(rng.integers(0, max_start + 1))
         else:
             ti, start = self._index[idx]
         try:

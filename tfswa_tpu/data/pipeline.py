@@ -31,12 +31,28 @@ class DataLoader:
         num_workers: int = 4,
         drop_last: bool = True,
         seed: int = 0,
+        num_shards: int = 1,
+        shard_index: int = 0,
     ):
+        """``batch_size`` is the GLOBAL batch size.  Under multi-host
+        training pass ``num_shards=jax.process_count()`` and
+        ``shard_index=jax.process_index()``: every process builds the same
+        global batch order (same seed -> same shuffle; per-(seed, epoch,
+        idx) segment sampling -> same samples) and loads only its
+        contiguous batch_size/num_shards slice — matching the
+        process-major 'data' axis order of parallel.mesh.create_mesh."""
+        if batch_size % max(num_shards, 1):
+            raise ValueError(
+                f"global batch_size {batch_size} must divide over "
+                f"{num_shards} processes"
+            )
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.num_workers = max(0, num_workers)
         self.drop_last = drop_last
+        self.num_shards = max(1, num_shards)
+        self.shard_index = shard_index
         self._epoch = 0
         self._seed = seed
 
@@ -53,15 +69,26 @@ class DataLoader:
             rng = np.random.default_rng(self._seed + self._epoch)
             rng.shuffle(order)
         batches = []
+        local = self.batch_size // self.num_shards
         for i in range(0, n, self.batch_size):
             idx = order[i : i + self.batch_size]
             if len(idx) < self.batch_size and self.drop_last:
                 continue
+            if self.num_shards > 1:
+                # this process's contiguous slice of the global batch
+                idx = idx[self.shard_index * local:
+                          (self.shard_index + 1) * local]
+                if len(idx) == 0:
+                    continue
             batches.append(idx)
         return batches
 
     def __iter__(self) -> Iterator:
         self._epoch += 1
+        if hasattr(self.dataset, "set_epoch"):
+            # advance the dataset's per-(seed, epoch, idx) sampling stream so
+            # random segments differ across epochs but not across worker counts
+            self.dataset.set_epoch(self._epoch)
         batches = self._batch_indices()
         if self.num_workers == 0:
             for idx in batches:
@@ -106,11 +133,18 @@ def prefetch_to_device(
     """Move batches to device `size` steps ahead of consumption.
 
     With a NamedSharding, batches land pre-sharded over the mesh's data axis;
-    otherwise they go to the default device.
+    otherwise they go to the default device.  Under multi-host training
+    (jax.process_count() > 1) each process feeds only its local slice (see
+    DataLoader num_shards) and the global array is assembled from the
+    per-process shards.
     """
 
     def put(batch):
         if sharding is not None:
+            if jax.process_count() > 1:
+                from ..parallel.distributed import make_global_batch
+
+                return make_global_batch(batch, sharding)
             return jax.tree_util.tree_map(
                 lambda x: jax.device_put(x, sharding), batch
             )

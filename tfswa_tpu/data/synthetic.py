@@ -32,8 +32,8 @@ class SyntheticDataset:
         self.segment_samples = int(segment_seconds * sample_rate)
         self.stems = tuple(stems)
         self.random_segments = random_segments
-        self._rng = np.random.default_rng(seed)
         self._seed = seed
+        self._epoch = 0
 
     def _track_sources(self, idx: int) -> Dict[str, np.ndarray]:
         rng = np.random.default_rng(self._seed * 1000 + idx)
@@ -73,11 +73,18 @@ class SyntheticDataset:
         per_track = max(1, self.track_samples // self.segment_samples)
         return self.num_tracks * per_track
 
+    def set_epoch(self, epoch: int) -> None:
+        """Advance the segment-sampling stream (called by DataLoader per epoch)."""
+        self._epoch = epoch
+
     def __getitem__(self, idx: int) -> Tuple[np.ndarray, Dict[str, np.ndarray]]:
         if self.random_segments:
             ti = idx % self.num_tracks
+            # per-(seed, epoch, idx) stream: thread-safe under loader worker
+            # threads and identical for any worker count (see musdb.py note)
+            rng = np.random.default_rng((self._seed, self._epoch, idx))
             start = int(
-                self._rng.integers(0, max(1, self.track_samples - self.segment_samples))
+                rng.integers(0, max(1, self.track_samples - self.segment_samples))
             )
         else:
             per_track = max(1, self.track_samples // self.segment_samples)
