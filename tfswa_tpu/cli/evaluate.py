@@ -23,12 +23,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--segment_seconds", type=float, default=10.0)
     p.add_argument("--overlap", type=float, default=0.25)
     p.add_argument("--mask_mode", type=str, default="trainer",
-                   choices=["trainer", "direct"])
+                   choices=["trainer", "direct", "mag_direct"])
     p.add_argument("--no_museval", action="store_true")
     p.add_argument("--max_tracks", type=int, default=None)
     p.add_argument("--save_estimates", action="store_true")
     p.add_argument("--n_fft", type=int, default=2048)
     p.add_argument("--hop_length", type=int, default=512)
+    from .separate import add_serving_args
+
+    add_serving_args(p)
     return p
 
 
@@ -36,21 +39,18 @@ def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
     stems = tuple(args.stems.split(","))
 
-    from ..config import EvalConfig, STFTConfig
+    from ..config import STFTConfig
     from ..evaluation import (
         CustomDatasetEvaluator,
         MUSDB18Evaluator,
         load_separator_from_checkpoint,
     )
+    from .separate import eval_config_from_args
 
     separator = load_separator_from_checkpoint(
         args.checkpoint,
         stft_config=STFTConfig(n_fft=args.n_fft, hop_length=args.hop_length),
-        eval_config=EvalConfig(
-            segment_seconds=args.segment_seconds,
-            overlap=args.overlap,
-            mask_mode=args.mask_mode,
-        ),
+        eval_config=eval_config_from_args(args),
         stem_names=stems,
     )
 

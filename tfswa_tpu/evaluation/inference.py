@@ -142,13 +142,20 @@ class SourceSeparator:
         self.model_audio_channels = model.in_channels // 2
 
         # Multi-chip separation: with a jax.sharding.Mesh, the segment batch
-        # is sharded over the 'data' axis (each chip runs segment_batch/d
-        # segments of the same compiled forward; GSPMD inserts nothing on the
-        # forward — it is embarrassingly parallel) and the variables follow
-        # the parallel/sharding.py rules ('model' axis > 1 adds Megatron TP).
+        # is split over the 'data' axis via shard_map — MANUAL partitioning,
+        # so the per-chip forward is collective-free BY CONSTRUCTION (each
+        # chip separates its own segments) while the 'model' axis stays in
+        # GSPMD auto mode ('model' > 1 adds Megatron TP inside).  Plain
+        # GSPMD batch sharding was measured NOT to scale here: it
+        # all-gathers the rows entering every chunked-attention lax.map, so
+        # each chip recomputed the full batch (caught by
+        # tools/bench_mesh_scaling.py, round 5; the shard_map form compiles
+        # to zero collectives and exactly 1/d per-device FLOPs).
         # The reference is single-GPU only (reference: inference.py:29).
         self.mesh = mesh
         if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
             from ..parallel.sharding import (
                 batch_sharding,
                 shard_variables,
@@ -160,33 +167,51 @@ class SourceSeparator:
             self.segment_batch = -(-segment_batch // d) * d
             self.variables = shard_variables(self.variables, mesh)
             self._batch_sharding = batch_sharding(mesh)
+            var_shardings = variables_shardings(self.variables, mesh)
             self._jit_separate = jax.jit(
-                self._separate_batch_impl,
-                in_shardings=(
-                    variables_shardings(self.variables, mesh),
-                    self._batch_sharding,
+                jax.shard_map(
+                    self._separate_batch_impl, mesh=mesh,
+                    in_specs=(P(), P("data")), out_specs=P("data"),
+                    axis_names={"data"},
                 ),
+                in_shardings=(var_shardings, self._batch_sharding),
                 out_shardings=self._batch_sharding,
             )
             # device_ola composes with the mesh: the whole track rides one
-            # h2d, the segment batches inside the OLA lax.map are sharded
-            # over 'data' (a with_sharding_constraint in _device_ola_impl),
+            # h2d, the per-window segment batches run through a shard_mapped
+            # lax.map (each chip separates batch/d segments of every window)
             # and the stems ride one d2h — multi-chip serving keeps the
             # single-transfer track path.
-            from jax.sharding import NamedSharding, PartitionSpec
-
-            replicated = NamedSharding(mesh, PartitionSpec())
+            self._sharded_window_map = jax.shard_map(
+                lambda v, b: jax.lax.map(
+                    lambda s: self._separate_core(v, s), b
+                ),
+                mesh=mesh,
+                in_specs=(P(), P(None, "data")),
+                out_specs=P(None, "data"),
+                axis_names={"data"},
+            )
+            replicated = NamedSharding(mesh, P())
             self._jit_device_ola = jax.jit(
                 self._device_ola_impl,
-                in_shardings=(
-                    variables_shardings(self.variables, mesh),
-                    replicated, replicated,
-                ),
+                in_shardings=(var_shardings, replicated, replicated),
                 out_shardings=replicated,
             )
         else:
             self._jit_separate = jax.jit(self._separate_batch_impl)
             self._jit_device_ola = jax.jit(self._device_ola_impl)
+
+    def update_variables(self, variables: Dict) -> None:
+        """Swap model weights in place (e.g. per in-training SDR eval: the
+        jitted pipeline takes variables as ARGUMENTS, so no recompile).
+        Under a mesh the tree is re-placed per the sharding rules — a no-op
+        device_put when the caller's arrays are already sharded that way
+        (the Trainer's state under the same mesh is)."""
+        if self.mesh is not None:
+            from ..parallel.sharding import shard_variables
+
+            variables = shard_variables(variables, self.mesh)
+        self.variables = variables
 
     # ----------------------------------------------------- transfer codecs
     def _encode_host(self, x: np.ndarray) -> np.ndarray:
@@ -303,16 +328,10 @@ class SourceSeparator:
             segments = jnp.pad(segments, ((0, pad), (0, 0)))
         batches = segments.reshape(nb, bs, seg)
         if self.mesh is not None:
-            # Each (bs, seg) segment batch is sharded over the 'data' mesh
-            # axis; GSPMD keeps the per-chip forward local and only the
-            # final OLA scatter gathers.
-            from jax.sharding import NamedSharding, PartitionSpec
-
-            batches = jax.lax.with_sharding_constraint(
-                batches,
-                NamedSharding(self.mesh, PartitionSpec(None, "data", None)),
-            )
-        if nb == 1:
+            # shard_mapped map: every chip runs bs/d segments of each window
+            # batch, collective-free; only the OLA scatter below gathers.
+            outs = self._sharded_window_map(variables, batches)
+        elif nb == 1:
             outs = self._separate_core(variables, batches[0])[None]
         else:
             outs = jax.lax.map(
@@ -470,9 +489,11 @@ class SourceSeparator:
                     drain_one()
                 results[i] = self.separate(audio, stems)
                 continue
-            queue.append((i, self._dispatch_long_device(audio)))
-            if len(queue) > max_in_flight:
+            # drain BEFORE dispatching so at most max_in_flight tracks'
+            # window programs are ever live on device at once
+            while len(queue) >= max_in_flight:
                 drain_one()
+            queue.append((i, self._dispatch_long_device(audio)))
         while queue:
             drain_one()
         return results
@@ -631,17 +652,25 @@ def load_separator_from_checkpoint(
     stft_config: Optional[STFTConfig] = None,
     eval_config: Optional[EvalConfig] = None,
     stem_names: Sequence[str] = ("vocals", "other"),
+    mesh=None,
 ) -> SourceSeparator:
     """Build a SourceSeparator from a checkpoint (reference: inference.py:300-364;
     the reference version crashes on a bad window_fn kwarg — fixed here).
 
     Accepts either an orbax checkpoint directory produced by our Trainer or a
     PyTorch ``.pt`` file from the reference repo (converted on load).
+    Every EvalConfig serving knob (device_ola, transfer_dtype, freq_policy,
+    stft_precision, ...) is honored — pass ``EvalConfig.fast_serving()`` for
+    the benchmarked TPU throughput path.
     """
+    import dataclasses as _dc
     import os
 
     stft_config = stft_config or STFTConfig()
     eval_config = eval_config or EvalConfig()
+    if eval_config.stft_precision:
+        stft_config = _dc.replace(
+            stft_config, precision=eval_config.stft_precision)
 
     if os.path.isfile(checkpoint_path) and checkpoint_path.endswith((".pt", ".pth")):
         import torch
@@ -685,4 +714,10 @@ def load_separator_from_checkpoint(
         overlap=eval_config.overlap,
         mask_mode=eval_config.mask_mode,
         stem_names=stem_names,
+        segment_batch=eval_config.segment_batch,
+        transfer_dtype=eval_config.transfer_dtype,
+        device_ola=eval_config.device_ola,
+        ola_bucket_seconds=eval_config.ola_bucket_seconds,
+        freq_policy=eval_config.freq_policy,
+        mesh=mesh,
     )
