@@ -43,6 +43,16 @@ def build_parser() -> argparse.ArgumentParser:
                    help="'latest', 'best', or epoch_NNNNNN")
     p.add_argument("--mesh", type=str, default=None,
                    help="data,model e.g. 4,2 (default: all devices on data)")
+    p.add_argument("--multihost", action="store_true",
+                   help="initialize JAX's multi-process runtime before any "
+                        "device use (TPU pods auto-detect the cluster; use "
+                        "--coordinator/--num_processes/--process_id off-pod)."
+                        "  Each process then loads its own slice of every "
+                        "global batch; process 0 writes checkpoints/logs.")
+    p.add_argument("--coordinator", type=str, default=None,
+                   help="host:port of process 0 (multi-host, off-pod only)")
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
     p.add_argument("--seed", type=int, default=None)
     return p
 
@@ -101,6 +111,24 @@ def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
     cfg = config_from_args(args)
 
+    if args.multihost:
+        # must run before any jax backend/device use (SURVEY.md section 5.8:
+        # DCN-spanning meshes are this framework's own design territory)
+        from ..parallel.distributed import initialize_distributed
+
+        distributed = initialize_distributed(
+            coordinator_address=args.coordinator,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
+        if distributed:
+            import jax
+
+            print(f"multihost: process {jax.process_index()}/"
+                  f"{jax.process_count()}, "
+                  f"{jax.local_device_count()} local / "
+                  f"{jax.device_count()} global devices")
+
     from ..data.synthetic import SyntheticDataset
     from ..training.trainer import Trainer
 
@@ -138,6 +166,14 @@ def main(argv=None) -> None:
 
         d, m = (int(x) for x in args.mesh.split(","))
         mesh = create_mesh(shape=(d, m))
+    elif args.multihost:
+        # multihost implies a mesh: all global devices on the data axis
+        import jax
+
+        if jax.process_count() > 1 or jax.device_count() > 1:
+            from ..parallel import create_mesh
+
+            mesh = create_mesh()
 
     trainer = Trainer(cfg, train_ds, val_ds, mesh=mesh)
     if args.resume:

@@ -1,4 +1,10 @@
 """SPMD parallelism: mesh construction and GSPMD sharding rules."""
+from .analysis import (
+    analyze_jitted,
+    collective_stats,
+    compiled_flops,
+    ring_all_reduce_link_bytes,
+)
 from .mesh import create_mesh, mesh_from_config
 from .sharding import (
     batch_sharding,
@@ -10,6 +16,10 @@ from .sharding import (
 )
 
 __all__ = [
+    "analyze_jitted",
+    "collective_stats",
+    "compiled_flops",
+    "ring_all_reduce_link_bytes",
     "create_mesh",
     "mesh_from_config",
     "param_spec",

@@ -72,6 +72,16 @@ class MetricLogger:
             self._tb.close()
 
 
+class _NullLogger:
+    """Metric sink for non-zero processes under multi-host training."""
+
+    def log(self, tag_values, step) -> None:
+        pass
+
+    def close(self) -> None:
+        pass
+
+
 class Trainer:
     """End-to-end training owner (reference: trainer.py:22-118 ctor)."""
 
@@ -93,12 +103,18 @@ class Trainer:
         F = config.stft.n_fft // 2 + 1
         T = segment_samples // config.stft.hop_length + 1
 
+        # multi-host: each process loads only its contiguous slice of every
+        # global batch (identical shuffle order on all processes —
+        # parallel/distributed.py).  Single-process: 1 shard, unchanged.
+        shard_index, num_shards = jax.process_index(), jax.process_count()
         self.train_loader = DataLoader(
             train_dataset,
             batch_size=config.data.batch_size,
             shuffle=True,
             num_workers=config.data.num_workers,
             seed=config.train.seed,
+            num_shards=num_shards,
+            shard_index=shard_index,
         )
         self.val_loader = (
             DataLoader(
@@ -107,6 +123,8 @@ class Trainer:
                 shuffle=False,
                 num_workers=config.data.num_workers,
                 drop_last=False,
+                num_shards=num_shards,
+                shard_index=shard_index,
             )
             if val_dataset is not None
             else None
@@ -144,37 +162,69 @@ class Trainer:
             config.data, self.stft_processor
         )
 
-        self._train_step = jax.jit(
-            make_train_step(
-                model,
-                self.stft_processor,
-                self.stems,
-                l1_weight=config.train.l1_weight,
-                mrstft_weight=config.train.mrstft_weight,
-                use_mrstft=config.train.use_mrstft_loss,
-                spec_augment=self.spec_aug,
-                rng_seed=config.train.seed + 2,
-                mask_mode=config.train.train_mask_mode,
-                freq_policy=config.train.freq_policy,
-            ),
-            donate_argnums=(0,),
+        train_step_kw = dict(
+            l1_weight=config.train.l1_weight,
+            mrstft_weight=config.train.mrstft_weight,
+            use_mrstft=config.train.use_mrstft_loss,
+            spec_augment=self.spec_aug,
+            rng_seed=config.train.seed + 2,
+            mask_mode=config.train.train_mask_mode,
+            freq_policy=config.train.freq_policy,
         )
-        self._eval_step = jax.jit(
-            make_eval_step(
-                model, self.stft_processor, self.stems,
-                mask_mode=config.train.train_mask_mode,
-                freq_policy=config.train.freq_policy,
+        eval_step_kw = dict(
+            mask_mode=config.train.train_mask_mode,
+            freq_policy=config.train.freq_policy,
+        )
+        if mesh is not None:
+            # shard_map over 'data': each chip computes its own batch shard
+            # (collective-free forward; explicit gradient pmean + synced BN)
+            # — plain GSPMD sharding does NOT scale the chunked attention
+            # stages (see make_sharded_train_step).
+            from .train_state import make_sharded_eval_step, make_sharded_train_step
+
+            self._train_step = jax.jit(
+                make_sharded_train_step(
+                    model, self.stft_processor, self.stems, mesh,
+                    **train_step_kw,
+                ),
+                donate_argnums=(0,),
             )
-        )
+            self._eval_step = jax.jit(
+                make_sharded_eval_step(
+                    model, self.stft_processor, self.stems, mesh,
+                    **eval_step_kw,
+                )
+            )
+        else:
+            self._train_step = jax.jit(
+                make_train_step(
+                    model, self.stft_processor, self.stems, **train_step_kw
+                ),
+                donate_argnums=(0,),
+            )
+            self._eval_step = jax.jit(
+                make_eval_step(
+                    model, self.stft_processor, self.stems, **eval_step_kw
+                )
+            )
         if self.audio_aug is not None or self.mixup is not None:
             self._augment = jax.jit(self._augment_impl)
         self._aug_rng = jax.random.PRNGKey(config.train.seed + 1)
 
-        self.ckpt = CheckpointManager(
-            config.train.checkpoint_dir, config=config,
-            keep=config.train.keep_checkpoints,
+        # multi-host: process 0 owns checkpoint/metric writes (pure-dp
+        # params are replicated, i.e. fully host-addressable everywhere)
+        self._is_main_process = shard_index == 0
+        self.ckpt = (
+            CheckpointManager(
+                config.train.checkpoint_dir, config=config,
+                keep=config.train.keep_checkpoints,
+            )
+            if self._is_main_process else None
         )
-        self.logger = MetricLogger(config.train.log_dir)
+        self.logger = (
+            MetricLogger(config.train.log_dir)
+            if self._is_main_process else _NullLogger()
+        )
 
         self.current_epoch = 0
         self.global_step = 0
@@ -310,15 +360,19 @@ class Trainer:
                 self.model,
                 variables,
                 self.stft_processor,
-                segment_length=10.0,
-                overlap=0.5,
+                segment_length=self.config.train.sdr_eval_segment_seconds,
+                overlap=self.config.train.sdr_eval_overlap,
                 mask_mode=sep_mode,
                 stem_names=self.stems,
+                # under mesh training the params stay sharded (TP included)
+                # and the separator's jit carries matching in_shardings —
+                # without this, TP-sharded params would hit an unsharded jit
+                mesh=self.mesh,
             )
         else:
             # refresh weights only: variables are jit ARGUMENTS, so the
             # compiled separation pipeline is reused across evals
-            self._sdr_separator.variables = variables
+            self._sdr_separator.update_variables(variables)
         separator = self._sdr_separator
         n = min(
             self.config.train.sdr_eval_num_tracks,
@@ -393,6 +447,8 @@ class Trainer:
             if metric_for_best is not None and metric_for_best < self.best_metric:
                 self.best_metric = metric_for_best
                 is_best = True
+            if self.ckpt is None:   # non-zero process under multi-host
+                continue
             self.ckpt.save(
                 self.state,
                 epoch=epoch,
@@ -406,7 +462,17 @@ class Trainer:
     # -------------------------------------------------------------- resume
     def load_checkpoint(self, which: str = "latest") -> None:
         """(reference: trainer.py:556-573)"""
-        tree, meta = self.ckpt.restore(which, state=self.state)
+        if self.ckpt is None:
+            # non-zero multi-host process: restore through a read-only
+            # manager (every process must load the same replicated weights)
+            self.ckpt = CheckpointManager(
+                self.config.train.checkpoint_dir, config=None,
+                keep=self.config.train.keep_checkpoints,
+            )
+            tree, meta = self.ckpt.restore(which, state=self.state)
+            self.ckpt = None
+        else:
+            tree, meta = self.ckpt.restore(which, state=self.state)
         self.state = self.state.replace(
             params=tree["params"],
             batch_stats=tree["batch_stats"],
