@@ -21,7 +21,11 @@ from tfswa_tpu.models import TFSWAUNet
 from tfswa_tpu.ops.stft import STFTProcessor
 from tfswa_tpu.parallel.mesh import create_mesh
 from tfswa_tpu.parallel.sharding import shard_batch, shard_variables
-from tfswa_tpu.training.train_state import create_train_state, make_train_step
+from tfswa_tpu.training.train_state import (
+    create_train_state,
+    make_sharded_train_step,
+    make_train_step,
+)
 
 pytestmark = pytest.mark.slow  # heavy tier: full collectives on one core
 
@@ -72,24 +76,30 @@ def test_tp_train_step_matches_single_device():
 
     cfg = _small_config()
     proc = STFTProcessor(cfg.stft)
-    model, state = create_train_state(
-        cfg, jax.random.PRNGKey(0), (1, 4, 129, 17), steps_per_epoch=4
+    mesh = create_mesh(shape=(4, 2))
+    assert mesh.shape["model"] == 2
+    # mesh path: model carries bn_axis_name="data" (synced BN inside
+    # shard_map); same seed -> identical initial params either way
+    model_sh, state_sh = create_train_state(
+        cfg, jax.random.PRNGKey(0), (1, 4, 129, 17), steps_per_epoch=4,
+        mesh=mesh,
     )
+    model = model_sh.clone(bn_axis_name=None)
+    state = jax.device_get(state_sh)
     tx = optax.chain(optax.clip_by_global_norm(1.0), optax.sgd(1e-2))
     state = state.replace(tx=tx, opt_state=tx.init(state.params))
+    state_sh = state_sh.replace(tx=tx, opt_state=tx.init(state_sh.params))
     step = jax.jit(make_train_step(model, proc, STEMS), donate_argnums=())
     mixtures, targets = _synth_batch(np.random.default_rng(0))
 
     new_single, loss_single = step(state, mixtures, targets)
 
-    mesh = create_mesh(shape=(4, 2))
-    assert mesh.shape["model"] == 2
-    sharded_state = state.replace(
-        params=shard_variables({"p": state.params}, mesh)["p"],
-        batch_stats=shard_variables({"b": state.batch_stats}, mesh)["b"],
+    sharded_step = jax.jit(
+        make_sharded_train_step(model_sh, proc, STEMS, mesh),
+        donate_argnums=(),
     )
-    new_sharded, loss_sharded = step(
-        sharded_state, shard_batch(mixtures, mesh), shard_batch(targets, mesh)
+    new_sharded, loss_sharded = sharded_step(
+        state_sh, shard_batch(mixtures, mesh), shard_batch(targets, mesh)
     )
 
     np.testing.assert_allclose(

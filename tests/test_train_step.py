@@ -130,33 +130,60 @@ def test_mrstft_train_step(setup):
 
 def test_data_parallel_matches_single_device(setup):
     """Same batch, sharded over 8 devices vs single device: same loss and
-    same parameter update (GSPMD handles BN/grad reductions globally).
+    same parameter update.  The dp path is shard_map (manual 'data' axis:
+    local compute + explicit grad pmean + axis_name-synced BN) — round 5
+    replaced GSPMD batch sharding, which all-gathered the chunked-attention
+    rows so per-chip work never split (tools/bench_mesh_scaling.py).
 
     Kept tiny: the CI box exposes 8 virtual devices on one physical core, so
     every collective round is serialized — long programs can trip XLA's
-    stuck-collective watchdog under load."""
+    stuck-collective watchdog under load.
+
+    Optimizer swapped to clip+SGD for the comparison: shard_map legitimately
+    changes the gradient reduction order (local mean then pmean), and Adam's
+    step-1 update ~lr*g/|g| amplifies that fp noise into O(lr) param deltas
+    that say nothing about sharding correctness (same rationale as
+    test_tensor_parallel)."""
+    import optax
+
+    from tfswa_tpu.training.train_state import make_sharded_train_step
+
     cfg, proc, model, state = setup
+    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.sgd(1e-2))
+    state = state.replace(tx=tx, opt_state=tx.init(state.params))
     step = jax.jit(make_train_step(model, proc, STEMS), donate_argnums=())
     mixtures, targets = synth_batch(np.random.default_rng(4), batch=8, samples=1024)
 
     new_single, loss_single = step(state, mixtures, targets)
 
     mesh = create_mesh()
+    model_sh = model.clone(bn_axis_name="data")
     sharded_state = state.replace(
         params=shard_variables({"p": state.params}, mesh)["p"],
         batch_stats=shard_variables({"b": state.batch_stats}, mesh)["b"],
     )
     s_mix = shard_batch(mixtures, mesh)
     s_tgt = shard_batch(targets, mesh)
-    new_sharded, loss_sharded = step(sharded_state, s_mix, s_tgt)
+    sharded_step = jax.jit(
+        make_sharded_train_step(model_sh, proc, STEMS, mesh),
+        donate_argnums=(),
+    )
+    new_sharded, loss_sharded = sharded_step(sharded_state, s_mix, s_tgt)
 
     np.testing.assert_allclose(
         float(loss_single["total_loss"]), float(loss_sharded["total_loss"]),
         rtol=1e-5,
     )
-    a = jax.tree_util.tree_leaves(new_single.params)[0]
-    b = jax.tree_util.tree_leaves(new_sharded.params)[0]
-    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    # EVERY leaf: a uniform grad-scale bug (e.g. the shard_map psum-vs-mean
+    # convention) cancels inside clip_by_global_norm and shows up only in
+    # un-normalized updates, so compare all params, not a sample
+    flat_a = jax.tree_util.tree_leaves_with_path(new_single.params)
+    flat_b = dict(jax.tree_util.tree_leaves_with_path(new_sharded.params))
+    for path, leaf in flat_a:
+        np.testing.assert_allclose(
+            np.asarray(leaf), np.asarray(flat_b[path]), atol=1e-5,
+            err_msg=jax.tree_util.keystr(path),
+        )
 
 
 def test_checkpoint_roundtrip(setup, tmp_path):

@@ -43,6 +43,7 @@ class TFSWABlock(nn.Module):
     attn_chunk_size: Optional[int] = 16
     attention_impl: str = "xla"
     use_shift_mask: bool = False
+    bn_axis_name: Optional[str] = None   # manual mesh axis for synced BN
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -58,7 +59,8 @@ class TFSWABlock(nn.Module):
 
         # Input projection: 1x1 conv + BN (reference: blocks.py:53-56)
         h = conv2d(self.out_channels, 1, name="input_proj_conv", **kw)(x)
-        h = batch_norm(use_running_average=not train, name="input_proj_bn", **kw)(h)
+        h = batch_norm(use_running_average=not train, name="input_proj_bn",
+                       axis_name=self.bn_axis_name, **kw)(h)
 
         attn_kw = dict(
             dim=self.out_channels,
@@ -87,7 +89,8 @@ class TFSWABlock(nn.Module):
 
         # Fusion: 1x1 conv + BN + GELU (reference: blocks.py:85-89)
         f = conv2d(self.out_channels, 1, name="fusion_conv", **kw)(combined)
-        f = batch_norm(use_running_average=not train, name="fusion_bn", **kw)(f)
+        f = batch_norm(use_running_average=not train, name="fusion_bn",
+                       axis_name=self.bn_axis_name, **kw)(f)
         f = gelu(f)
 
         # Residual (projected when channels differ, reference: blocks.py:92-94)
@@ -113,6 +116,7 @@ class DownsampleBlock(nn.Module):
     (reference: blocks.py:151-163)."""
 
     out_channels: int
+    bn_axis_name: Optional[str] = None
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -120,7 +124,8 @@ class DownsampleBlock(nn.Module):
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         h = conv2d(self.out_channels, 4, stride=2, padding=1, name="conv", **kw)(x)
-        h = batch_norm(use_running_average=not train, name="bn", **kw)(h)
+        h = batch_norm(use_running_average=not train, name="bn",
+                       axis_name=self.bn_axis_name, **kw)(h)
         return gelu(h)
 
 
@@ -129,6 +134,7 @@ class UpsampleBlock(nn.Module):
     (reference: blocks.py:166-178)."""
 
     out_channels: int
+    bn_axis_name: Optional[str] = None
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -139,5 +145,6 @@ class UpsampleBlock(nn.Module):
             self.out_channels, kernel_size=4, stride=2, padding=1,
             name="deconv", **kw,
         )(x)
-        h = batch_norm(use_running_average=not train, name="bn", **kw)(h)
+        h = batch_norm(use_running_average=not train, name="bn",
+                       axis_name=self.bn_axis_name, **kw)(h)
         return gelu(h)

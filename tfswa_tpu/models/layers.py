@@ -76,15 +76,24 @@ def conv2d(features: int, kernel_size: int, *, stride: int = 1, padding: int = 0
 
 
 def batch_norm(*, use_running_average: bool, dtype=jnp.float32,
-               param_dtype=jnp.float32, name: str) -> nn.BatchNorm:
-    """BatchNorm with torch defaults. Under jit with a sharded batch axis,
-    GSPMD reduces over the *global* batch automatically (no axis_name)."""
+               param_dtype=jnp.float32, name: str,
+               axis_name=None) -> nn.BatchNorm:
+    """BatchNorm with torch defaults.
+
+    Cross-replica semantics: under plain GSPMD jit with a sharded batch,
+    XLA reduces over the *global* batch automatically (no axis_name).
+    Under shard_map's MANUAL 'data' axis (the collective-free dp path,
+    round 5) the batch reduction is per-device unless ``axis_name`` names
+    the manual axis — then flax pmeans mean/var across it, restoring exact
+    global-batch statistics.  axis_name is only consulted when batch stats
+    are computed (train mode), so eval paths outside shard_map are safe."""
     return nn.BatchNorm(
         use_running_average=use_running_average,
         momentum=0.9,   # flax momentum = 1 - torch momentum(0.1)
         epsilon=1e-5,
         dtype=dtype,
         param_dtype=param_dtype,
+        axis_name=axis_name,
         name=name,
     )
 

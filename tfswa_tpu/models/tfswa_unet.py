@@ -41,6 +41,10 @@ class TFSWAUNet(nn.Module):
     attention_impl: str = "xla"
     use_shift_mask: bool = False
     remat: bool = False
+    # Manual mesh axis name for cross-replica BN statistics — set (to
+    # "data") only when the train step runs inside shard_map; plain GSPMD
+    # and eval paths leave it None (see layers.batch_norm).
+    bn_axis_name: Optional[str] = None
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
     data_format: str = "NCHW"   # public API layout; internals are NHWC
@@ -86,6 +90,7 @@ class TFSWAUNet(nn.Module):
             attn_chunk_size=self.attn_chunk_size,
             attention_impl=self.attention_impl,
             use_shift_mask=self.use_shift_mask,
+            bn_axis_name=self.bn_axis_name,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name=f"{stage}_block{idx}",
@@ -103,7 +108,8 @@ class TFSWAUNet(nn.Module):
 
         # Stem: 7x7 conv + BN + GELU (reference: tfswa_unet.py:58-62)
         x = conv2d(self.dims[0], 7, stride=1, padding=3, name="stem_conv", **kw)(x)
-        x = batch_norm(use_running_average=not train, name="stem_bn", **kw)(x)
+        x = batch_norm(use_running_average=not train, name="stem_bn",
+                       axis_name=self.bn_axis_name, **kw)(x)
         x = gelu(x)
 
         # Encoder (reference: tfswa_unet.py:179-193)
@@ -112,7 +118,10 @@ class TFSWAUNet(nn.Module):
             for i in range(self.depths[s]):
                 x = self._block(f"enc{s}", i, self.dims[s])(x, None, train)
             skips.append(x)
-            x = DownsampleBlock(self.dims[s + 1], name=f"down{s}", **kw)(x, train)
+            x = DownsampleBlock(
+                self.dims[s + 1], bn_axis_name=self.bn_axis_name,
+                name=f"down{s}", **kw,
+            )(x, train)
 
         # Bottleneck (reference: tfswa_unet.py:195-197)
         for i in range(self.depths[3]):
@@ -120,7 +129,10 @@ class TFSWAUNet(nn.Module):
 
         # Decoder (reference: tfswa_unet.py:199-224)
         for d, s in enumerate(range(2, -1, -1)):
-            x = UpsampleBlock(self.dims[s], name=f"up{d}", **kw)(x, train)
+            x = UpsampleBlock(
+                self.dims[s], bn_axis_name=self.bn_axis_name,
+                name=f"up{d}", **kw,
+            )(x, train)
             skip = skips[s]
             if x.shape[1:3] != skip.shape[1:3]:
                 x = bilinear_resize(x, skip.shape[1:3])
@@ -132,7 +144,8 @@ class TFSWAUNet(nn.Module):
         # Output head: 3x3 conv + BN + GELU -> 1x1 conv -> sigmoid
         # (reference: tfswa_unet.py:139-145)
         x = conv2d(self.dims[0], 3, stride=1, padding=1, name="head_conv1", **kw)(x)
-        x = batch_norm(use_running_average=not train, name="head_bn", **kw)(x)
+        x = batch_norm(use_running_average=not train, name="head_bn",
+                       axis_name=self.bn_axis_name, **kw)(x)
         x = gelu(x)
         x = conv2d(self.out_channels, 1, name="head_conv2", **kw)(x)
         x = nn.sigmoid(x.astype(jnp.float32))

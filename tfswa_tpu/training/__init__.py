@@ -10,6 +10,8 @@ from .train_state import (
     create_train_state,
     make_eval_step,
     make_optimizer,
+    make_sharded_eval_step,
+    make_sharded_train_step,
     make_train_step,
 )
 from .checkpointing import CheckpointManager, restore_variables
@@ -23,6 +25,8 @@ __all__ = [
     "create_train_state",
     "make_train_step",
     "make_eval_step",
+    "make_sharded_train_step",
+    "make_sharded_eval_step",
     "make_optimizer",
     "CheckpointManager",
     "restore_variables",

@@ -81,8 +81,14 @@ def create_train_state(
     steps_per_epoch: int = 1000,
     mesh=None,
 ) -> Tuple[TFSWAUNet, TrainState]:
-    """Init model + optimizer; optionally place everything on a mesh."""
+    """Init model + optimizer; optionally place everything on a mesh.
+
+    With a mesh the model carries bn_axis_name="data" so the shard_mapped
+    train step (make_sharded_train_step) keeps BatchNorm statistics global.
+    """
     model = TFSWAUNet.from_config(cfg.model)
+    if mesh is not None:
+        model = model.clone(bn_axis_name="data")
     variables = model.init(rng, jnp.zeros(sample_input_shape, jnp.float32))
     tx, _ = make_optimizer(cfg, steps_per_epoch)
     params, batch_stats = variables["params"], variables["batch_stats"]
@@ -124,6 +130,7 @@ def make_train_step(
     rng_seed: int = 0,
     mask_mode: str = "parity",
     freq_policy: str = "full",
+    data_axis: Optional[str] = None,
 ) -> Callable:
     """Build the jitted train step.
 
@@ -136,9 +143,21 @@ def make_train_step(
 
     Per-step randomness (dropout, spec-augment) is derived from state.step
     via fold_in — deterministic, resume-stable, and no extra step argument.
+
+    ``data_axis``: name of the MANUAL mesh axis when this step runs inside
+    shard_map (use make_sharded_train_step) — gradients and losses pmean
+    across it, and the model must carry bn_axis_name=data_axis so BN
+    statistics stay global.  None (default) = single device or plain GSPMD.
     """
     n_stems = len(stems)
     use_dropout = getattr(model, "dropout", 0.0) > 0.0
+    if data_axis is not None and getattr(model, "bn_axis_name", None) != data_axis:
+        raise ValueError(
+            f"data_axis={data_axis!r} needs the model built with "
+            f"bn_axis_name={data_axis!r} (got "
+            f"{getattr(model, 'bn_axis_name', None)!r}) so BatchNorm "
+            "statistics reduce over the global batch"
+        )
 
     def train_step(state: TrainState, mixtures: jnp.ndarray, targets: Dict[str, jnp.ndarray]):
         step_rng = jax.random.fold_in(jax.random.PRNGKey(rng_seed), state.step)
@@ -190,12 +209,60 @@ def make_train_step(
             return loss_dict["total_loss"], (loss_dict, updates["batch_stats"])
 
         grads, (loss_dict, new_bs) = jax.grad(loss_fn, has_aux=True)(state.params)
+        if data_axis is not None:
+            # Under shard_map's vma semantics, jax.grad of the LOCAL loss
+            # w.r.t. replicated params already returns the cross-device
+            # psum (the transpose of the implicit pbroadcast) — i.e. the
+            # gradient of the SUM of per-device losses, replicated on every
+            # device.  The global-mean-loss gradient is that divided by the
+            # axis size (a plain pmean here would be a no-op on the
+            # already-replicated sum and leave grads d-times too large —
+            # caught by the dp/tp equivalence tests, round 5).  This psum
+            # is also the dp path's only cross-chip traffic; BN statistics
+            # were already synced in-forward via bn_axis_name.
+            d = jax.lax.psum(1, data_axis)
+            grads = jax.tree_util.tree_map(lambda g: g / d, grads)
+            # per-device loss scalars are genuinely varying: pmean them
+            loss_dict = {
+                k: jax.lax.pmean(v, data_axis) for k, v in loss_dict.items()
+            }
         new_state = state.apply_gradients(grads, new_bs)
         loss_dict = {k: v.astype(jnp.float32) for k, v in loss_dict.items()}
         loss_dict["grad_norm"] = optax.global_norm(grads)
         return new_state, loss_dict
 
     return train_step
+
+
+def make_sharded_train_step(
+    model: TFSWAUNet,
+    stft_processor: STFTProcessor,
+    stems: Tuple[str, ...],
+    mesh,
+    **kwargs,
+) -> Callable:
+    """Data-parallel train step via shard_map: MANUAL over the 'data' axis
+    (each chip computes its own batch shard end to end — collective-free
+    except the explicit gradient pmean), GSPMD-auto over 'model' (Megatron
+    TP).  Plain GSPMD batch sharding was measured NOT to scale the chunked
+    attention stages: it all-gathers the rows entering every lax.map chunk
+    loop, so every chip recomputed the full batch (caught by
+    tools/bench_mesh_scaling.py, round 5).
+
+    The model must be built with bn_axis_name="data"
+    (create_train_state(mesh=...) does this).  Wrap the result in jax.jit.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    inner = make_train_step(
+        model, stft_processor, stems, data_axis="data", **kwargs
+    )
+    return jax.shard_map(
+        inner, mesh=mesh,
+        in_specs=(P(), P("data"), P("data")),
+        out_specs=(P(), P()),
+        axis_names={"data"},
+    )
 
 
 def make_eval_step(
@@ -205,9 +272,10 @@ def make_eval_step(
     l1_weight: float = 1.0,
     mask_mode: str = "parity",
     freq_policy: str = "full",
+    data_axis: Optional[str] = None,
 ) -> Callable:
     """Validation loss step (reference: trainer.py:453-523): same mask
-    pipeline, eval-mode BN, no grads."""
+    pipeline, eval-mode BN, no grads.  ``data_axis``: see make_train_step."""
     n_stems = len(stems)
 
     def eval_step(state: TrainState, mixtures, targets):
@@ -231,6 +299,34 @@ def make_eval_step(
         loss_dict = source_separation_loss(
             pred_mags, target_mags, l1_weight=l1_weight, use_mrstft=False
         )
+        if data_axis is not None:
+            loss_dict = {
+                k: jax.lax.pmean(v, data_axis) for k, v in loss_dict.items()
+            }
         return {k: v.astype(jnp.float32) for k, v in loss_dict.items()}
 
     return eval_step
+
+
+def make_sharded_eval_step(
+    model: TFSWAUNet,
+    stft_processor: STFTProcessor,
+    stems: Tuple[str, ...],
+    mesh,
+    **kwargs,
+) -> Callable:
+    """Validation step via shard_map over 'data' (see
+    make_sharded_train_step for why plain GSPMD does not scale here).
+    Eval-mode BN reads running stats, so no axis sync is involved — only
+    the scalar losses pmean."""
+    from jax.sharding import PartitionSpec as P
+
+    inner = make_eval_step(
+        model, stft_processor, stems, data_axis="data", **kwargs
+    )
+    return jax.shard_map(
+        inner, mesh=mesh,
+        in_specs=(P(), P("data"), P("data")),
+        out_specs=P(),
+        axis_names={"data"},
+    )
