@@ -748,14 +748,24 @@ def _pallas_bwd_profitable(N: int, C: int, dtype, R: int) -> bool:
     """Routing gate for the fused backward kernel vs the chunked-XLA VJP.
     Measured per chip (tools/autotune.py, "bwd_route"); without a
     measurement the kernel stays OFF (the XLA path is the proven
-    fallback)."""
+    fallback).  An r-bucketed entry wins over the R-free one, mirroring
+    attn_route: the crop_pow2 training shapes share (N, C) with parity
+    stages at different row counts (e.g. enc1 T-arm (512, 64) at R=1024
+    cropped vs R=431 parity), and one unqualified key must not let either
+    regime decide the other's route."""
     from . import autotune
 
-    v = autotune.lookup("bwd_route",
-                        f"{N},{C},{jnp.dtype(dtype).name}")
-    if v is None:
-        return False
-    return str(v) == "pallas"
+    name = jnp.dtype(dtype).name
+    rkey = f"{N},{C},{name},r{autotune.r_bucket(R)}"
+    # Exhaust both key forms per level (local cache, then shipped) so a
+    # shipped r-bucketed entry never shadows a local R-free measurement.
+    for level in (autotune._load(), autotune._SHIPPED):
+        v = autotune.lookup_in(level, "bwd_route", rkey)
+        if v is None:
+            v = autotune.lookup_in(level, "bwd_route", f"{N},{C},{name}")
+        if v is not None:
+            return str(v) == "pallas"
+    return False
 
 
 def _fused_block_bwd_impl(rows, mid, acc, den, g, p, num_heads: int):

@@ -52,7 +52,26 @@ SHAPES = [
     ("enc0 TSA 3s", 862, 259, 32, 8),
     ("enc0 FSA 3s", 259, 862, 32, 8),
     ("enc1 TSA 3s", 431, 130, 64, 8),
+    # crop_pow2 TRAINING shapes (train.freq_policy=crop_pow2, 5.938 s
+    # tile-clean segment: T=512, F=1024, at the B=4 step's row counts).
+    # Without these keys the bwd_route lookup misses and the fused
+    # backward silently falls back to XLA for the whole cropped step —
+    # the reason round-4 measured "backward barely moves" under crop.
+    ("enc0 Tcrop", 2048, 1024, 32, 8),
+    ("enc0 Fcrop", 4096, 512, 32, 8),
+    ("enc1 Tcrop", 1024, 512, 64, 8),
+    ("enc1 Fcrop", 2048, 256, 64, 8),
+    ("enc2 Tcrop", 512, 256, 128, 8),
+    ("enc2 Fcrop", 1024, 128, 128, 8),
+    ("bott Tcrop", 256, 128, 256, 8),
+    ("bott Fcrop", 512, 64, 256, 8),
 ]
+
+# (N, C) pairs whose R-free route keys belong to the parity flagship
+# sweep; crop entries sharing one record only r-bucketed keys so the two
+# training regimes cannot poison each other's routes (the round-4
+# serving-band lesson, applied to the backward too).
+_PARITY_NC = {(n, c) for _, _, n, c, _ in SHAPES[:9]}
 
 RB_CANDIDATES = (8, 16, 32, 48, 64)
 
@@ -127,15 +146,17 @@ def _sweep_fused(rows, p, H, dtype_name, hidden, parts, two_output):
     return results.get(best_pair)
 
 
-def _sweep_bwd_route(rows, p, H, dtype_name, parts):
+def _sweep_bwd_route(rows, p, H, dtype_name, parts, record_rfree=True):
     """A/B the training backward: fused Pallas bwd kernel vs the chunked-XLA
     VJP, through the production custom-VJP entry (jax.grad of
     fused_row_block wrt rows AND params).  Records the winner in
-    "bwd_route"."""
+    "bwd_route" under the r-bucketed key, plus the R-free key when this
+    shape owns it (``record_rfree``)."""
     from tfswa_tpu.ops.pallas.fused_block import fused_row_block
 
-    N, C = rows.shape[1], rows.shape[2]
-    key = f"{N},{C},{dtype_name}"
+    R, N, C = rows.shape
+    rkey = f"{N},{C},{dtype_name},r{autotune.r_bucket(R)}"
+    keys = [rkey] + ([f"{N},{C},{dtype_name}"] if record_rfree else [])
 
     def gfn(r, pp):
         return jax.grad(
@@ -146,14 +167,16 @@ def _sweep_bwd_route(rows, p, H, dtype_name, parts):
 
     t_by_route = {}
     for route in ("xla", "pallas"):
-        autotune.record("bwd_route", key, route)
+        for key in keys:
+            autotune.record("bwd_route", key, route)
         try:
             t_by_route[route] = timeit(jax.jit(gfn), rows, p, iters=4)
             parts.append(f"bwd/{route}:{t_by_route[route] * 1e3:7.2f}")
         except Exception:
             parts.append(f"bwd/{route}:FAIL")
     best = min(t_by_route, key=t_by_route.get) if t_by_route else "xla"
-    autotune.record("bwd_route", key, best)
+    for key in keys:
+        autotune.record("bwd_route", key, best)
     parts.append(f"bwd->{best}")
 
 
@@ -220,16 +243,20 @@ def main() -> None:
             parts.append(f"xla:{t_xla * 1e3:7.2f}")
         route = "pallas" if best_t <= t_xla else "xla"
         parts.append(f"-> {route}")
+        # r-bucketed key always; the R-free key only for shapes that OWN
+        # the (N, C): not the 3 s serving band (that poisoning cost
+        # 18.6 -> 13.9 as/s in round 4) and not crop entries that share a
+        # parity stage's (N, C) at a different row count.
+        owns_rfree = "3s" not in label and not (
+            "crop" in label and (N, C) in _PARITY_NC)
         if args.bwd:
-            _sweep_bwd_route(rows, p, H, dtype_name, parts)
+            _sweep_bwd_route(rows, p, H, dtype_name, parts,
+                             record_rfree=owns_rfree)
         print("  ".join(parts))
-        # r-bucketed key always; the R-free key only for flagship-R shapes
-        # (the serving band must not override the flagship route at the
-        # same (N, C) — that poisoning cost 18.6 -> 13.9 as/s in round 4).
         autotune.record(
             "attn_route",
             f"{N},{C},{dtype_name},r{autotune.r_bucket(R)}", route)
-        if "3s" not in label:
+        if owns_rfree:
             autotune.record("attn_route", f"{N},{C},{dtype_name}", route)
 
     autotune.record_provenance(kind)
